@@ -1,0 +1,117 @@
+"""Trace-quality filter stage (reference F1-F10).
+
+Reimplements /root/reference/conflation/trace_filter.py:18-115 as one
+window-lag pass + one per-doc aggregation + a semi-join — all built-in
+column expressions (JVM-side, whole-stage codegen), no UDFs.
+
+Exact reference semantics preserved:
+- haversine with earth radius 6378160 m (trace_filter.py:118-133)
+- total time uses positional first/last points (sequence[-1] - sequence[0],
+  trace_filter.py:40), i.e. first/last BY OFFSET, not min/max of time —
+  they differ for docs with time-regression defects
+- any adjacent dt < 0 drops the whole doc (trace_filter.py:69-74)
+- dt == 0 pairs contribute NOTHING: no distance, no speed, no counters
+  (`continue` fires before `total_dist += d`, trace_filter.py:77-78)
+- dt > 5 s and pair speed > 160 km/h each increment the poor-measurement
+  counter (both can fire for the same pair, trace_filter.py:81-91)
+- poor ratio denominator is the POINT count, not pair count
+  (trace_filter.py:97: `num_poor / len(sequence)`)
+- mean speed over pairs with dt != 0; when every pair has dt == 0 numpy
+  yields NaN and `NaN < 10` is False, so the doc is KEPT (trace_filter.py:108)
+- note dt < 0 pairs (only present in already-doomed docs) still add distance
+  and a negative speed in the reference; we reproduce that for stat parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6378160.0  # trace_filter.py:132
+MINIMUM_MEAN_SPEED = 10.0  # km/h, trace_filter.py:6
+MINIMUM_TOTAL_TIME = 55.0  # s, trace_filter.py:7
+MINIMUM_TOTAL_DISTANCE = 1000.0  # m, trace_filter.py:8
+MAXIMUM_TIME_BETWEEN_ADJACENT_POINTS = 5.0  # s, trace_filter.py:9-11
+MAXIMUM_SPEED_BETWEEN_ADJACENT_POINTS = 160.0  # km/h, trace_filter.py:12
+MAXIMUM_POOR_MEASUREMENTS_PERCENT = 0.25  # trace_filter.py:13-15
+MINIMUM_IMAGES_PER_SEQUENCE = 30  # v4 fetch-time filter, mapillary.py:22-24
+
+
+def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle meters, reference formula (trace_filter.py:118-133)."""
+    rlon1, rlat1 = F.radians(lon1), F.radians(lat1)
+    rlon2, rlat2 = F.radians(lon2), F.radians(lat2)
+    a = F.pow(F.sin((rlat2 - rlat1) / 2), 2) + F.cos(rlat1) * F.cos(rlat2) * F.pow(
+        F.sin((rlon2 - rlon1) / 2), 2
+    )
+    return F.asin(F.sqrt(a)) * F.lit(2.0 * EARTH_RADIUS_M)
+
+
+def with_pair_deltas(points: DataFrame) -> DataFrame:
+    """Add lag-window pair columns (dt seconds, d meters, v_kmph) per doc.
+
+    One shuffle on doc_id; reused by the aggregation below.
+    """
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    lagged = points.select(
+        "doc_id",
+        "offset",
+        "time",
+        "lon",
+        "lat",
+        F.lag("time").over(w).alias("p_time"),
+        F.lag("lon").over(w).alias("p_lon"),
+        F.lag("lat").over(w).alias("p_lat"),
+    )
+    d = haversine_m(F.col("p_lon"), F.col("p_lat"), F.col("lon"), F.col("lat"))
+    dt = F.col("time") - F.col("p_time")
+    return lagged.withColumn("dt", dt).withColumn("d", d).withColumn(
+        "v_kmph", F.when(F.col("dt") != 0, F.col("d") / 1000.0 / F.col("dt") * 3600.0)
+    )
+
+
+def doc_stats(points: DataFrame) -> DataFrame:
+    """Per-doc aggregates mirroring the reference's per-sequence loop."""
+    pairs = with_pair_deltas(points)
+    nonzero = F.col("dt").isNotNull() & (F.col("dt") != 0)
+    return pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.max_by("time", "offset") - F.min_by("time", "offset")).alias("total_time"),
+        F.coalesce(F.sum(F.when(nonzero, F.col("d"))), F.lit(0.0)).alias("total_dist"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("dt") > MAXIMUM_TIME_BETWEEN_ADJACENT_POINTS, 1).otherwise(0)
+                + F.when(
+                    nonzero & (F.col("v_kmph") > MAXIMUM_SPEED_BETWEEN_ADJACENT_POINTS), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("num_poor"),
+        F.max(F.when(F.col("dt") < 0, 1).otherwise(0)).alias("has_negative_dt"),
+        F.avg(F.when(nonzero, F.col("v_kmph"))).alias("mean_speed"),
+    )
+
+
+def accept_condition(min_points: int | None = None) -> Column:
+    """The reference's accept predicate over doc_stats columns."""
+    c = (
+        (F.col("total_time") >= MINIMUM_TOTAL_TIME)
+        & (F.col("has_negative_dt") == 0)
+        & (F.col("num_poor") / F.col("n_points") <= MAXIMUM_POOR_MEASUREMENTS_PERCENT)
+        & (F.col("total_dist") >= MINIMUM_TOTAL_DISTANCE)
+        # NaN/NULL mean (all-zero-dt doc) is kept by the reference
+        & (F.col("mean_speed").isNull() | (F.col("mean_speed") >= MINIMUM_MEAN_SPEED))
+    )
+    if min_points is not None:
+        c = c & (F.col("n_points") >= min_points)
+    return c
+
+
+def accepted_doc_ids(points: DataFrame, min_points: int | None = None) -> DataFrame:
+    return doc_stats(points).where(accept_condition(min_points)).select("doc_id")
+
+
+def filter_traces(points: DataFrame, min_points: int | None = None) -> DataFrame:
+    """points -> points of accepted docs only (left-semi join, broadcastable)."""
+    keep = accepted_doc_ids(points, min_points)
+    return points.join(keep, "doc_id", "left_semi")
