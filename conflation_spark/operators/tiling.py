@@ -1,0 +1,119 @@
+"""Tile/cell arithmetic (reference F13-F15, S2-S3) — all built-in column math.
+
+Slippy-tile encode/decode per the reference
+(/root/reference/conflation/trace_fetching/mapillary.py:755-781), with the
+same clamps (lat ±85.0511, lon ±179.9999). No UDFs: ``F.asinh``/``F.tan``
+are JVM-side, so cell assignment stays inside whole-stage codegen.
+
+Cells are packed into one long ``cell = x * 2^z + y`` so a single column
+drives repartitioning, joins, and pruning (analog of the reference's z5
+routable-tile whitelist, mapillary.py:561-563 — an ``isin`` against a
+broadcast set / partition filter).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_LAT = 85.0511  # mapillary.py:758-763
+MAX_LON = 179.9999
+DEFAULT_ZOOM = 16
+
+
+def _clamp(c: Column, lo: float, hi: float) -> Column:
+    return F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
+
+
+def tile_x(lon: Column, zoom: int) -> Column:
+    lon = _clamp(lon, -MAX_LON, MAX_LON)
+    return F.floor((lon + 180.0) / 360.0 * (1 << zoom)).cast("long")
+
+
+def tile_y(lat: Column, zoom: int) -> Column:
+    lat = _clamp(lat, -MAX_LAT, MAX_LAT)
+    rad = F.radians(lat)
+    return F.floor((1.0 - F.asinh(F.tan(rad)) / math.pi) / 2.0 * (1 << zoom)).cast("long")
+
+
+def pack_cell(x: Column, y: Column, zoom: int) -> Column:
+    return (x * F.lit(1 << zoom) + y).cast("long")
+
+
+def cell_of(lon: Column, lat: Column, zoom: int = DEFAULT_ZOOM) -> Column:
+    return pack_cell(tile_x(lon, zoom), tile_y(lat, zoom), zoom)
+
+
+def tile_nw_lon(x: Column, zoom: int) -> Column:
+    """NW-corner lon of tile x (inverse of tile_x, mapillary.py:773-781)."""
+    return x.cast("double") / F.lit(float(1 << zoom)) * 360.0 - 180.0
+
+
+def tile_nw_lat(y: Column, zoom: int) -> Column:
+    n = math.pi - 2.0 * math.pi * 1.0 / (1 << zoom)  # placeholder, built below
+    del n
+    inner = F.lit(math.pi) * (1.0 - 2.0 * y.cast("double") / F.lit(float(1 << zoom)))
+    return F.degrees(F.atan(F.sinh(inner)))
+
+
+def with_point_cell(points: DataFrame, zoom: int = DEFAULT_ZOOM) -> DataFrame:
+    return points.withColumn("cell", cell_of(F.col("lon"), F.col("lat"), zoom))
+
+
+def edge_covering_cells(
+    edges: DataFrame, zoom: int = DEFAULT_ZOOM, buffer_m: float = 40.0
+) -> DataFrame:
+    """J1: explode each edge to every cell its buffered bbox covers.
+
+    The buffer (meters -> degrees, latitude-aware for lon) guarantees a point
+    within ``buffer_m`` of the edge lands in a covered cell, so the
+    point-cell equi-join finds all candidates within the search radius
+    without a neighbor-ring expansion. Straight ~200 m edges at z16 cover
+    1-4 cells, so the explode is tiny (built-in ``sequence`` x ``explode``).
+    """
+    blat = buffer_m / 111320.0
+    lat_max_abs = F.greatest(F.abs(F.col("lat1")), F.abs(F.col("lat2")))
+    blon = F.lit(buffer_m) / (F.lit(111320.0) * F.cos(F.radians(_clamp(lat_max_abs, 0.0, 85.0))))
+    lo_lon = F.least("lon1", "lon2") - blon
+    hi_lon = F.greatest("lon1", "lon2") + blon
+    lo_lat = F.least("lat1", "lat2") - F.lit(blat)
+    hi_lat = F.greatest("lat1", "lat2") + F.lit(blat)
+    x0, x1 = tile_x(lo_lon, zoom), tile_x(hi_lon, zoom)
+    # note: y grows south, so hi_lat -> smaller y
+    y0, y1 = tile_y(hi_lat, zoom), tile_y(lo_lat, zoom)
+    return (
+        edges.withColumn("xs", F.sequence(x0, x1))
+        .withColumn("ys", F.sequence(y0, y1))
+        .withColumn("x", F.explode("xs"))
+        .withColumn("y", F.explode("ys"))
+        .withColumn("cell", pack_cell(F.col("x"), F.col("y"), zoom))
+        .drop("xs", "ys", "x", "y")
+    )
+
+
+def prune_to_cells(df: DataFrame, cells: DataFrame) -> DataFrame:
+    """S3 analog: keep rows whose cell appears in the (small, broadcast)
+    active-cell set — static partition pruning for dead tiles."""
+    return df.join(F.broadcast(cells.select("cell").distinct()), "cell", "left_semi")
+
+
+def bbox_overlaps(
+    alo_lon: Column, alo_lat: Column, ahi_lon: Column, ahi_lat: Column,
+    blo_lon: Column, blo_lat: Column, bhi_lon: Column, bhi_lat: Column,
+) -> Column:
+    """F13 rectangle intersection — touching edges do NOT overlap
+    (strict inequalities, mapillary.py:731-745)."""
+    return ~(
+        (ahi_lon <= blo_lon)
+        | (bhi_lon <= alo_lon)
+        | (ahi_lat <= blo_lat)
+        | (bhi_lat <= alo_lat)
+    )
+
+
+def point_in_bbox(lon: Column, lat: Column, lo_lon, lo_lat, hi_lon, hi_lat) -> Column:
+    """F12 half-open containment: lo <= v < hi (mapillary.py:748-752) —
+    tile-boundary points belong to exactly one owner."""
+    return (lon >= lo_lon) & (lon < hi_lon) & (lat >= lo_lat) & (lat < hi_lat)

@@ -1,0 +1,154 @@
+"""End-to-end pipeline with checkpointing, lineage + metrics, and resume.
+
+Spark-native analog of the reference's pickle-checkpoint / skip-if-exists
+execution (S9/S10/X6: /root/reference/conflation/trace_fetching/mapillary.py:271-288,
+valhalla.py:108-122, aggregation.py:81-85). Every stage writes a parquet
+checkpoint; a rerun reads finished stages instead of recomputing (the
+reference's ``.processed`` rename becomes the parquet ``_SUCCESS`` marker +
+a lineage manifest). Per-partition lineage + metrics rows are written
+alongside each checkpoint (north_rule), harvested from the parquet footers
+— no extra Spark job.
+
+Stage graph:
+    points -> filtered_points -> traversals -> measurements -> (rollup, config.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+STAGES = ["points", "filtered_points", "traversals", "measurements"]
+
+
+def _ckpt(work_dir: str, stage: str) -> str:
+    return os.path.join(work_dir, "checkpoints", stage)
+
+
+def _lineage_path(work_dir: str, stage: str) -> str:
+    return os.path.join(work_dir, "lineage", f"{stage}.json")
+
+
+def _is_done(work_dir: str, stage: str) -> bool:
+    return os.path.exists(os.path.join(_ckpt(work_dir, stage), "_SUCCESS")) and os.path.exists(
+        _lineage_path(work_dir, stage)
+    )
+
+
+def _write_stage(
+    df: DataFrame, work_dir: str, stage: str, inputs: list[str], params: dict
+) -> None:
+    path = _ckpt(work_dir, stage)
+    t0 = time.time()
+    df.write.mode("overwrite").parquet(path)
+    elapsed = time.time() - t0
+    # per-partition lineage + metrics from the parquet footers
+    import pyarrow.parquet as pq
+
+    parts = []
+    total_rows = 0
+    for fn in sorted(os.listdir(path)):
+        if not fn.endswith(".parquet"):
+            continue
+        f = pq.ParquetFile(os.path.join(path, fn))
+        parts.append(
+            {
+                "file": fn,
+                "rows": f.metadata.num_rows,
+                "bytes": os.path.getsize(os.path.join(path, fn)),
+                "row_groups": f.metadata.num_row_groups,
+            }
+        )
+        total_rows += f.metadata.num_rows
+    manifest = {
+        "stage": stage,
+        "inputs": inputs,
+        "params": params,
+        "rows": total_rows,
+        "partitions": len(parts),
+        "write_seconds": round(elapsed, 3),
+        "completed_at_epoch": int(time.time()),
+        "parts": parts,
+    }
+    os.makedirs(os.path.dirname(_lineage_path(work_dir, stage)), exist_ok=True)
+    tmp = _lineage_path(work_dir, stage) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.rename(tmp, _lineage_path(work_dir, stage))  # atomic commit, like S9
+
+
+def read_lineage(work_dir: str, stage: str) -> dict:
+    with open(_lineage_path(work_dir, stage)) as f:
+        return json.load(f)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    zoom: int = 16,
+    resume: bool = True,
+    stop_after: str | None = None,
+) -> dict:
+    """Run (or resume) the full pipeline. Returns stage row counts.
+
+    ``stop_after`` lets the kill/resume test abandon a run mid-pipeline.
+    """
+    from conflation_spark.functions.config_build import rollup_to_configs, write_config
+    from conflation_spark.operators.candidates import candidate_edges
+    from conflation_spark.operators.matching import match_traces
+    from conflation_spark.operators.measurements import derive_measurements
+    from conflation_spark.operators.rollup import rollup_medians
+    from conflation_spark.operators.trace_filter import filter_traces
+    from conflation_spark.sources.spans import decode_points, load_documents
+
+    os.makedirs(work_dir, exist_ok=True)
+    params = {"zoom": zoom, "input_dir": input_dir}
+    counts: dict[str, int] = {}
+
+    def stage(name: str, build, inputs: list[str]) -> DataFrame:
+        if resume and _is_done(work_dir, name):
+            counts[name] = read_lineage(work_dir, name)["rows"]
+            return spark.read.parquet(_ckpt(work_dir, name))
+        df = build()
+        _write_stage(df, work_dir, name, inputs, params)
+        counts[name] = read_lineage(work_dir, name)["rows"]
+        return spark.read.parquet(_ckpt(work_dir, name))
+
+    docs = load_documents(spark, input_dir)
+    points = stage("points", lambda: decode_points(docs), [f"{input_dir}/documents.parquet"])
+    if stop_after == "points":
+        return counts
+
+    filtered = stage("filtered_points", lambda: filter_traces(points), [_ckpt(work_dir, "points")])
+    if stop_after == "filtered_points":
+        return counts
+
+    edges = spark.read.parquet(f"{input_dir}/edges.parquet")
+    traversals = stage(
+        "traversals",
+        lambda: match_traces(filtered, candidate_edges(filtered, edges, zoom=zoom)),
+        [_ckpt(work_dir, "filtered_points"), f"{input_dir}/edges.parquet"],
+    )
+    if stop_after == "traversals":
+        return counts
+
+    measurements = stage(
+        "measurements",
+        lambda: derive_measurements(traversals, edges),
+        [_ckpt(work_dir, "traversals"), f"{input_dir}/edges.parquet"],
+    )
+    if stop_after == "measurements":
+        return counts
+
+    # final rollup + config (aggregation.py:81-85 skip-if-done analog)
+    config_path = os.path.join(work_dir, "results", "config.json")
+    if not (resume and os.path.exists(config_path)):
+        rollup_rows = [r.asDict() for r in rollup_medians(measurements).collect()]
+        configs = rollup_to_configs(rollup_rows)
+        write_config(configs, os.path.join(work_dir, "results"))
+    counts["config"] = 1
+    return counts

@@ -86,3 +86,51 @@ def trace_filter_accept(points: list[dict], min_points: int | None = None) -> bo
     if s["mean_speed"] < 10:  # NaN < 10 is False -> kept, as in the reference
         return False
     return True
+
+
+def derive_measurements(traversals, edges_by_id):
+    """Reference M1-M12 loop semantics over matcher traversal rows.
+
+    traversals: list of dicts (doc_id, edge_seq, edge_id, elapsed_time,
+    n_points, n_unmatched) for ONE doc, ordered by edge_seq.
+    edges_by_id: edge_id -> dict of edge attrs.
+    Returns list of (country, region, density, road_class, type, kph).
+    """
+    if not traversals:
+        return []
+    if traversals[0]["n_unmatched"] / traversals[0]["n_points"] > 0.25:
+        return []
+    out = []
+    prev_t = traversals[0]["elapsed_time"]
+    for tr in traversals[1:-1]:
+        e = edges_by_id[tr["edge_id"]]
+        t = tr["elapsed_time"]
+        if t < prev_t:
+            return out  # abort, keep earlier emissions
+        if t == prev_t:
+            continue  # skip without advancing prev_t
+        kph = e["length_km"] / (t - prev_t) * 3600.0
+        if kph > 160:
+            return out
+        density = (
+            "rural" if e["density"] < 5 else ("suburban" if e["density"] < 11 else "urban")
+        )
+        rc = "service" if e["road_class"] == "service_other" else e["road_class"]
+        use = e["use"]
+        special = {
+            "driveway": "driveway",
+            "alley": "alley",
+            "parking_aisle": "parking_aisle",
+            "drive_through": "drive-through",
+        }
+        if use in special:
+            typ = special[use]
+        elif e["roundabout"]:
+            typ = "roundabout"
+        elif use in ("ramp", "turn_channel"):
+            typ = "link_exiting" if e["sign_cnt"] > 0 else "link_turning"
+        else:
+            typ = "way"
+        out.append((e["country"], e["region"], density, rc, typ, kph))
+        prev_t = t
+    return out

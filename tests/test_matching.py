@@ -1,0 +1,144 @@
+"""Matcher + measurement tests: Viterbi accuracy vs ground truth, and
+M1-M12 derivation parity vs the pure-Python oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conflation_spark.operators.candidates import candidate_edges
+from conflation_spark.operators.matching import match_traces
+from conflation_spark.operators.measurements import derive_measurements
+from conflation_spark.operators.trace_filter import filter_traces
+from conflation_spark.sources.spans import decode_points, load_documents
+from tests import oracle
+
+
+@pytest.fixture(scope="module")
+def matched(spark, fixture_dir):
+    docs = load_documents(spark, fixture_dir)
+    pts = filter_traces(decode_points(docs))
+    edges = spark.read.parquet(f"{fixture_dir}/edges.parquet")
+    cand = candidate_edges(pts, edges)
+    trav = match_traces(pts, cand).cache()
+    trav.count()
+    return trav
+
+
+def test_matcher_edge_accuracy_vs_truth(spark, fixture_dir, matched):
+    """>= 90% of ground-truth traversals recovered (edge_id sequence)."""
+    truth = spark.read.parquet(f"{fixture_dir}/truth.parquet")
+    accepted = matched.select("doc_id").distinct()
+    truth = truth.join(accepted, "doc_id", "left_semi")
+    t = {
+        (r["doc_id"], r["seq"]): r["edge_id"]
+        for r in truth.collect()
+    }
+    m = {}
+    for r in matched.collect():
+        m.setdefault(r["doc_id"], []).append((r["edge_seq"], r["edge_id"]))
+    # compare ordered edge_id sequences per doc with simple alignment:
+    # count truth edges that appear in the matched sequence in order
+    total, hit = 0, 0
+    truth_by_doc = {}
+    for (doc, seq), eid in sorted(t.items()):
+        truth_by_doc.setdefault(doc, []).append(eid)
+    for doc, true_seq in truth_by_doc.items():
+        got_seq = [eid for _, eid in sorted(m.get(doc, []))]
+        gi = 0
+        for te in true_seq:
+            total += 1
+            while gi < len(got_seq) and got_seq[gi] != te:
+                gi += 1
+            if gi < len(got_seq):
+                hit += 1
+                gi += 1
+    assert total > 0
+    rate = hit / total
+    assert rate >= 0.90, f"edge recovery rate {rate:.3f}"
+
+
+def test_unmatched_counting(spark, fixture_dir):
+    """A point far from any edge counts as unmatched and breaks the chain."""
+    import json
+
+    lon0, lat0 = 10.0, 35.0  # inside city AA-1's graph area
+    spans = []
+    for i in range(40):
+        lon = lon0 + i * 0.0004
+        lat = lat0 + (0.5 if i == 20 else 0.0)  # teleported point -> no candidate
+        spans.append(
+            {
+                "kind": "gps",
+                "text": json.dumps({"time": float(i * 2), "lon": lon, "lat": lat}),
+                "media_ref": f"i{i}",
+                "offset": i,
+            }
+        )
+    docs = spark.createDataFrame(
+        [("dx", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    pts = decode_points(docs)
+    edges = spark.read.parquet(f"{fixture_dir}/edges.parquet")
+    cand = candidate_edges(pts, edges)
+    trav = match_traces(pts, cand)
+    rows = trav.collect()
+    if rows:  # doc may be fully off-graph depending on fixture geometry
+        assert rows[0]["n_points"] == 40
+        assert rows[0]["n_unmatched"] >= 1
+
+
+def test_derivation_matches_oracle(spark, fixture_dir, matched):
+    edges_df = spark.read.parquet(f"{fixture_dir}/edges.parquet")
+    got = derive_measurements(matched, edges_df).collect()
+    got_rows = sorted(
+        (r["country"], r["region"], r["density"], r["road_class"], r["type"],
+         round(r["kph"], 9))
+        for r in got
+    )
+    edges_by_id = {r["edge_id"]: r.asDict() for r in edges_df.collect()}
+    want_rows = []
+    by_doc = {}
+    for r in matched.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r.asDict())
+    for doc, trs in by_doc.items():
+        trs.sort(key=lambda x: x["edge_seq"])
+        want_rows.extend(
+            (c, reg, d, rc, ty, round(k, 9))
+            for (c, reg, d, rc, ty, k) in oracle.derive_measurements(trs, edges_by_id)
+        )
+    assert got_rows == sorted(want_rows)
+    assert len(got_rows) > 100
+
+
+def test_derivation_abort_and_zero_dt_semantics(spark, fixture_dir):
+    """Synthetic traversals exercising M2 trim, M5 non-advancing prev_t,
+    M4 mid-doc abort with partial emission, M7 kph abort."""
+    edges_df = spark.read.parquet(f"{fixture_dir}/edges.parquet")
+    e = edges_df.limit(6).collect()
+    ids = [r["edge_id"] for r in e]
+    lens = {r["edge_id"]: r["length_km"] for r in e}
+
+    def tr(seq, eid, t):
+        return ("d1", seq, eid, float(t), 3, 100, 0)
+
+    # edge0 trimmed (seed prev=10); e1 dt=5; e2 zero-dt (skip, prev stays 15);
+    # e3 dt=5 (15->20); e4 regression -> abort; e5 would-be but trimmed/aborted
+    rows = [
+        tr(0, ids[0], 10.0),
+        tr(1, ids[1], 15.0),
+        tr(2, ids[2], 15.0),
+        tr(3, ids[3], 20.0),
+        tr(4, ids[4], 12.0),
+        tr(5, ids[5], 30.0),
+    ]
+    schema = (
+        "doc_id string, edge_seq int, edge_id long, elapsed_time double, "
+        "n_pts int, n_points int, n_unmatched int"
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = derive_measurements(df, edges_df).collect()
+    kphs = sorted(round(r["kph"], 6) for r in got)
+    want = sorted(
+        round(lens[i] / 5.0 * 3600.0, 6) for i in (ids[1], ids[3])
+    )
+    assert kphs == want

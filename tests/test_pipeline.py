@@ -1,0 +1,86 @@
+"""Full-pipeline E2E: config.json vs the pure-Python oracle chain, plus the
+kill/resume checkpoint test (north_rule: resumable with per-partition
+lineage + metrics)."""
+
+import json
+import os
+
+import pandas as pd
+
+from conflation_spark.plans.pipeline import read_lineage, run_pipeline
+from tests import oracle
+
+
+def _oracle_config(spark, fixture_dir, traversals_rows, edges_rows):
+    """Derive measurements with the oracle loop, rollup with pandas, pivot
+    with our (golden-tested) config builder."""
+    from conflation_spark.functions.config_build import rollup_to_configs
+
+    edges_by_id = {r["edge_id"]: r for r in edges_rows}
+    by_doc = {}
+    for r in traversals_rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    meas = []
+    for doc, trs in by_doc.items():
+        trs.sort(key=lambda x: x["edge_seq"])
+        meas.extend(oracle.derive_measurements(trs, edges_by_id))
+    pdf = pd.DataFrame(meas, columns=["country", "region", "density", "road_class", "type", "kph"])
+    rollup_rows = []
+    for (c, reg), g in pdf[pdf["region"] != ""].groupby(["country", "region"]):
+        for k, v in g.groupby(["density", "road_class", "type"])["kph"].median().items():
+            rollup_rows.append(dict(level="region", country=c, region=reg,
+                                    density=k[0], road_class=k[1], type=k[2], median_kph=v))
+    for c, g in pdf.groupby("country"):
+        for k, v in g.groupby(["density", "road_class", "type"])["kph"].median().items():
+            rollup_rows.append(dict(level="country", country=c, region=None,
+                                    density=k[0], road_class=k[1], type=k[2], median_kph=v))
+    for k, v in pdf.groupby(["density", "road_class", "type"])["kph"].median().items():
+        rollup_rows.append(dict(level="world", country=None, region=None,
+                                density=k[0], road_class=k[1], type=k[2], median_kph=v))
+    return rollup_to_configs(rollup_rows)
+
+
+def test_full_pipeline_and_resume(spark, fixture_dir, tmp_path):
+    work = str(tmp_path / "run1")
+    counts = run_pipeline(spark, fixture_dir, work)
+    assert counts["points"] > 0
+    assert counts["filtered_points"] < counts["points"]
+    assert counts["measurements"] > 0
+    cfg_path = os.path.join(work, "results", "config.json")
+    assert os.path.exists(cfg_path)
+
+    # lineage manifests exist with per-partition rows
+    for st in ["points", "filtered_points", "traversals", "measurements"]:
+        man = read_lineage(work, st)
+        assert man["rows"] == counts[st]
+        assert man["partitions"] >= 1
+        assert sum(p["rows"] for p in man["parts"]) == man["rows"]
+
+    # E2E config parity vs oracle chain
+    trav_rows = [r.asDict() for r in spark.read.parquet(f"{work}/checkpoints/traversals").collect()]
+    edges_rows = [r.asDict() for r in spark.read.parquet(f"{fixture_dir}/edges.parquet").collect()]
+    want = _oracle_config(spark, fixture_dir, trav_rows, edges_rows)
+    with open(cfg_path) as f:
+        got = json.loads(f.read())
+    assert got == want
+
+    # resume: nothing recomputed (checkpoint mtimes unchanged)
+    mtimes = {
+        st: os.path.getmtime(f"{work}/checkpoints/{st}/_SUCCESS")
+        for st in ["points", "filtered_points", "traversals", "measurements"]
+    }
+    counts2 = run_pipeline(spark, fixture_dir, work)
+    assert counts2 == counts
+    for st, mt in mtimes.items():
+        assert os.path.getmtime(f"{work}/checkpoints/{st}/_SUCCESS") == mt
+
+
+def test_kill_and_resume_midway(spark, fixture_dir, tmp_path):
+    work = str(tmp_path / "run2")
+    partial = run_pipeline(spark, fixture_dir, work, stop_after="filtered_points")
+    assert "traversals" not in partial
+    mt_points = os.path.getmtime(f"{work}/checkpoints/points/_SUCCESS")
+    full = run_pipeline(spark, fixture_dir, work)
+    assert full["points"] == partial["points"]
+    assert os.path.getmtime(f"{work}/checkpoints/points/_SUCCESS") == mt_points
+    assert os.path.exists(os.path.join(work, "results", "config.json"))
