@@ -40,6 +40,7 @@ def candidate_edges(
     k: int = DEFAULT_K,
     radius_m: float = DEFAULT_RADIUS_M,
     broadcast_edges: bool = True,
+    rank: bool = False,
 ) -> DataFrame:
     """points(doc_id, offset, time, lon, lat) x edges(edge_id, src, dst,
     lon1, lat1, lon2, lat2, ...) -> up to k candidates per point:
@@ -57,47 +58,50 @@ def candidate_edges(
         zoom,
         buffer_m=radius_m + 5.0,
     )
+    # Precompute the edge's meter-space frame on the (small) broadcast side:
+    # all trig happens once per edge-cell row, and the per-joined-row math
+    # shrinks to a handful of mul/adds. (Catalyst pushes the radius filter
+    # into the join condition without CSE — a naive formulation re-evaluates
+    # a trig-heavy tree dozens of times per row; this one stays cheap even
+    # fully inlined.)
+    coslat = F.cos(F.radians((F.col("lat1") + F.col("lat2")) / 2.0))
+    ec = (
+        ec.withColumn("coslat", coslat)
+        .withColumn("ex", (F.col("lon2") - F.col("lon1")) * F.col("coslat") * DEG_LAT_M)
+        .withColumn("ey", (F.col("lat2") - F.col("lat1")) * F.lit(DEG_LAT_M))
+        .withColumn("len2", F.col("ex") * F.col("ex") + F.col("ey") * F.col("ey"))
+        .withColumn("len_m", F.sqrt("len2"))
+    )
     right = F.broadcast(ec) if broadcast_edges else ec
     j = pc.join(right, "cell")
 
-    # equirectangular meters around the point's latitude
-    coslat = F.cos(F.radians(F.col("lat")))
-    ax = (F.col("lon1") - F.col("lon")) * coslat * DEG_LAT_M
-    ay = (F.col("lat1") - F.col("lat")) * DEG_LAT_M
-    bx = (F.col("lon2") - F.col("lon")) * coslat * DEG_LAT_M
-    by = (F.col("lat2") - F.col("lat")) * DEG_LAT_M
-    dx, dy = bx - ax, by - ay
-    len2 = dx * dx + dy * dy
-    t_raw = F.when(len2 > 0, -(ax * dx + ay * dy) / len2).otherwise(F.lit(0.0))
-    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
-    cx = ax + t * dx
-    cy = ay + t * dy
-    dist = F.sqrt(cx * cx + cy * cy)
+    px = (F.col("lon") - F.col("lon1")) * F.col("coslat") * DEG_LAT_M
+    py = (F.col("lat") - F.col("lat1")) * F.lit(DEG_LAT_M)
+    t_raw = F.when(F.col("len2") > 0, (px * F.col("ex") + py * F.col("ey")) / F.col("len2"))
+    t = F.least(F.greatest(t_raw.otherwise(F.lit(0.0)), F.lit(0.0)), F.lit(1.0))
+    dx = px - t * F.col("ex")
+    dy = py - t * F.col("ey")
+    dist = F.sqrt(dx * dx + dy * dy)
 
     cand = (
         j.withColumn("t_param", t)
         .withColumn("dist_m", dist)
-        .withColumn("len_m", F.sqrt(len2))
         .where(F.col("dist_m") <= radius_m)
+        .select(
+            "doc_id", "offset", "time", "lon", "lat",
+            "edge_id", "src", "dst", "dist_m", "t_param", "len_m",
+        )
     )
+    if not rank:
+        # top-k happens inside the matcher's per-doc numpy pass, saving a
+        # full shuffle of the largest intermediate (the matcher shuffles by
+        # doc_id anyway). This is the default pipeline path.
+        return cand
     w = Window.partitionBy("doc_id", "offset").orderBy(
         F.col("dist_m").asc(), F.col("edge_id").asc()
     )
     return (
         cand.withColumn("cand_rank", F.row_number().over(w))
         .where(F.col("cand_rank") <= k)
-        .select(
-            "doc_id",
-            "offset",
-            "time",
-            "lon",
-            "lat",
-            "edge_id",
-            "src",
-            "dst",
-            "dist_m",
-            "t_param",
-            "len_m",
-            "cand_rank",
-        )
+        .drop("cand_rank")
     )

@@ -54,55 +54,46 @@ def _haversine_np(lon1, lat1, lon2, lat2):
     return 2 * math.asin(math.sqrt(a)) * EARTH_RADIUS_M
 
 
-def viterbi_one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
     """Pure function (shared with the test oracle): candidate rows of one doc
-    -> traversal rows. Deterministic: stable candidate order, first-wins
-    argmax."""
+    -> traversal rows. Takes top-k candidates per point here (numpy) so the
+    upstream join needs no per-point window shuffle. Deterministic: ties
+    broken by (dist_m, edge_id); first-wins argmax."""
     doc_id = pdf["doc_id"].iloc[0]
-    pdf = pdf.sort_values(["offset", "cand_rank"], kind="mergesort")
-    # group candidates per point, keeping point order
-    offsets = pdf["offset"].to_numpy()
-    uniq_off, starts = np.unique(offsets, return_index=True)
-    order = np.argsort(starts)
-    uniq_off = uniq_off[order]
-    n_points_with_cands = len(uniq_off)
+    pdf = pdf.sort_values(["offset", "dist_m", "edge_id"], kind="mergesort")
 
+    offsets = pdf["offset"].to_numpy()
     times = pdf["time"].to_numpy()
     lons = pdf["lon"].to_numpy()
     lats = pdf["lat"].to_numpy()
     has_cand = pdf["edge_id"].notna().to_numpy()
+    e_id = pdf["edge_id"].to_numpy(dtype="float64", na_value=np.nan)
+    e_src = pdf["src"].to_numpy(dtype="float64", na_value=np.nan)
+    e_dst = pdf["dst"].to_numpy(dtype="float64", na_value=np.nan)
+    e_dist = pdf["dist_m"].to_numpy(dtype="float64", na_value=np.nan)
+    e_t = pdf["t_param"].to_numpy(dtype="float64", na_value=np.nan)
+    e_len = pdf["len_m"].to_numpy(dtype="float64", na_value=np.nan)
 
-    pts = []  # (time, lon, lat, cand_indices ndarray)
-    idx_by_off = {}
-    for i, off in enumerate(offsets):
-        idx_by_off.setdefault(off, []).append(i)
-    for off in uniq_off:
-        rows = [i for i in idx_by_off[off] if has_cand[i]]
-        pts.append((times[idx_by_off[off][0]], lons[idx_by_off[off][0]], lats[idx_by_off[off][0]], rows))
-
-    e_id = pdf["edge_id"].to_numpy()
-    e_src = pdf["src"].to_numpy()
-    e_dst = pdf["dst"].to_numpy()
-    e_dist = pdf["dist_m"].to_numpy()
-    e_t = pdf["t_param"].to_numpy()
-    e_len = pdf["len_m"].to_numpy()
+    # split row range into per-point slices (offsets are sorted)
+    uniq_off, starts = np.unique(offsets, return_index=True)
+    bounds = np.append(starts, len(offsets))
+    pts = []  # (time, lon, lat, candidate row indices [top-k])
+    for i in range(len(uniq_off)):
+        s, e = bounds[i], bounds[i + 1]
+        rows = [j for j in range(s, e) if has_cand[j]][:k]
+        pts.append((times[s], lons[s], lats[s], rows))
 
     n_unmatched = sum(1 for p in pts if not p[3])
     n_points = len(pts)
+    cols = ["doc_id", "edge_seq", "edge_id", "elapsed_time", "n_pts", "n_points", "n_unmatched"]
     if n_points == 0:
-        return pd.DataFrame(
-            columns=[
-                "doc_id", "edge_seq", "edge_id", "elapsed_time",
-                "n_pts", "n_points", "n_unmatched",
-            ]
-        )
+        return pd.DataFrame(columns=cols)
     t0 = pts[0][0]
 
-    # Viterbi over points that have candidates; chain breaks at unmatched pts
     matched = [None] * n_points  # per point: candidate row index or None
-    chain: list[int] = []  # point indices of current chain
+    chain: list[int] = []
     prev_scores = None
-    prev_back = []  # list of backpointer arrays per chain step
+    prev_back: list[np.ndarray] = []
 
     def flush(chain_pts, scores, backs):
         if not chain_pts:
@@ -120,7 +111,8 @@ def viterbi_one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
             flush(chain, prev_scores, prev_back)
             chain, prev_scores, prev_back = [], None, []
             continue
-        emis = np.array([-0.5 * (e_dist[c] / SIGMA_M) ** 2 for c in cands])
+        ci = np.asarray(cands)
+        emis = -0.5 * (e_dist[ci] / SIGMA_M) ** 2
         if prev_scores is None:
             chain = [p_i]
             prev_scores = emis
@@ -128,28 +120,33 @@ def viterbi_one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
             continue
         q_i = chain[-1]
         gc = _haversine_np(pts[q_i][1], pts[q_i][2], lon, lat)
-        pc = pts[q_i][3]
-        trans = np.full((len(pc), len(cands)), JUMP_LOGP - gc / BETA_M)
-        for a_k, a in enumerate(pc):
-            for b_k, b in enumerate(cands):
-                if e_id[a] == e_id[b]:
-                    route = abs(e_t[b] - e_t[a]) * e_len[a]
-                elif e_dst[a] == e_src[b]:
-                    route = (1 - e_t[a]) * e_len[a] + e_t[b] * e_len[b]
-                elif e_dst[a] == e_dst[b]:
-                    route = (1 - e_t[a]) * e_len[a] + (1 - e_t[b]) * e_len[b]
-                elif e_src[a] == e_src[b]:
-                    route = e_t[a] * e_len[a] + e_t[b] * e_len[b]
-                elif e_src[a] == e_dst[b]:
-                    route = e_t[a] * e_len[a] + (1 - e_t[b]) * e_len[b]
-                else:
-                    continue  # keep jump fallback
-                trans[a_k, b_k] = -abs(route - gc) / BETA_M + (
-                    0.0 if e_id[a] == e_id[b] else SWITCH_LOGP
-                )
+        pc = np.asarray(pts[q_i][3])
+        # vectorized route-distance matrix over (prev cands x cur cands)
+        ida, sa, da = e_id[pc, None], e_src[pc, None], e_dst[pc, None]
+        ta, la = e_t[pc, None], e_len[pc, None]
+        idb, sb, db = e_id[None, ci], e_src[None, ci], e_dst[None, ci]
+        tb, lb = e_t[None, ci], e_len[None, ci]
+        along_a_fwd, along_a_bwd = (1 - ta) * la, ta * la
+        along_b_fwd, along_b_bwd = tb * lb, (1 - tb) * lb
+        route = np.select(
+            [ida == idb, da == sb, da == db, sa == sb, sa == db],
+            [
+                np.abs(tb - ta) * la,
+                along_a_fwd + along_b_fwd,
+                along_a_fwd + along_b_bwd,
+                along_a_bwd + along_b_fwd,
+                along_a_bwd + along_b_bwd,
+            ],
+            default=np.nan,
+        )
+        trans = np.where(
+            np.isnan(route),
+            JUMP_LOGP - gc / BETA_M,
+            -np.abs(route - gc) / BETA_M + np.where(ida == idb, 0.0, SWITCH_LOGP),
+        )
         cand_scores = prev_scores[:, None] + trans
         back = np.argmax(cand_scores, axis=0)
-        prev_scores = cand_scores[back, np.arange(len(cands))] + emis
+        prev_scores = cand_scores[back, np.arange(len(ci))] + emis
         prev_back.append(back)
         chain.append(p_i)
     flush(chain, prev_scores, prev_back)
@@ -173,13 +170,7 @@ def viterbi_one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     if cur_edge is not None:
         out.append((doc_id, seq, cur_edge, cur_last_t - t0, cur_n, n_points, n_unmatched))
 
-    return pd.DataFrame(
-        out,
-        columns=[
-            "doc_id", "edge_seq", "edge_id", "elapsed_time",
-            "n_pts", "n_points", "n_unmatched",
-        ],
-    )
+    return pd.DataFrame(out, columns=cols)
 
 
 def match_traces(points: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -191,7 +182,10 @@ def match_traces(points: DataFrame, candidates: DataFrame) -> DataFrame:
     """
     base = points.select("doc_id", "offset", "time", "lon", "lat")
     cand = candidates.select(
-        "doc_id", "offset", "edge_id", "src", "dst", "dist_m", "t_param", "len_m", "cand_rank"
+        "doc_id", "offset", "edge_id", "src", "dst", "dist_m", "t_param", "len_m"
     )
     full = base.join(cand, ["doc_id", "offset"], "left")
-    return full.groupBy("doc_id").applyInPandas(viterbi_one_doc, schema=MATCH_SCHEMA)
+    # NB: applyInPandas treats a 2-arg function as (key, pdf) — keep 1-arg
+    return full.groupBy("doc_id").applyInPandas(
+        lambda pdf: viterbi_one_doc(pdf), schema=MATCH_SCHEMA
+    )
