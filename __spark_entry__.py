@@ -187,21 +187,302 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data-pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+def _text_dir(sf_dir: str) -> str:
+    from conflation_spark.datagen_text import ensure_text_fixture
+
+    return ensure_text_fixture(_sf_name(sf_dir))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from conflation_spark.operators.dedup import exact_dup_groups
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    return exact_dup_groups(td, "text_id", "text")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from conflation_spark.operators.dedup import ngram_jaccard_pairs
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    return ngram_jaccard_pairs(td, "text_id", "text", 3, 0.8)
+
+
+def _q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact jaccard >= 0.8 — equals the
+    brute-force oracle when (and only when) LSH recall is 1, which holds
+    deterministically on the planted fixture (16 bands x 4 rows)."""
+    from pyspark.sql import functions as F2
+
+    from conflation_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    cands = minhash_lsh_pairs(td, "text_id", "text")
+    exact = ngram_jaccard_pairs(td, "text_id", "text", 3, 0.8)
+    return exact.join(cands, ["id_a", "id_b"], "left_semi").select(
+        "id_a", "id_b", "jaccard_c"
+    )
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from conflation_spark.operators.dedup import simhash_pairs
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    return simhash_pairs(td, "text_id", "text", 3)  # rows-only check (no SQL twin)
+
+
+def _q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from conflation_spark.operators.dedup import embedding_cosine_pairs
+
+    v = spark.read.parquet(f"{_text_dir(sf_dir)}/vectors.parquet")
+    return embedding_cosine_pairs(v, "vec_id", "vec", 0.95)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from conflation_spark.operators.similarity import brute_force_topk
+
+    v = spark.read.parquet(f"{_text_dir(sf_dir)}/vectors.parquet")
+    q = v.orderBy("vec_id").limit(20).selectExpr("vec_id as query_id", "vec")
+    return brute_force_topk(v, q, k=10, id_col="vec_id", vec_col="vec")
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from conflation_spark.operators.similarity import lsh_topk
+
+    v = spark.read.parquet(f"{_text_dir(sf_dir)}/vectors.parquet")
+    q = v.orderBy("vec_id").limit(20).selectExpr("vec_id as query_id", "vec")
+    return lsh_topk(v, q, k=10, id_col="vec_id", vec_col="vec")  # rows-only
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from conflation_spark.operators.text import with_quality
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    return with_quality(td, "text").select(
+        "text_id", "n_chars_q", "n_tokens", "punct_ratio_c", "stop_ratio_c", "quality_score"
+    )
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from conflation_spark.operators.text import with_token_counts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_token_counts(d, "text").select("doc_id", "n_tokens", "n_bpe_pieces")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from conflation_spark.operators.text import with_lang_id
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = ["doc_id", "lang_pred"] + [f"hits_{lang}" for lang in ("de", "en", "es", "fr", "zh")]
+    return with_lang_id(d, "text").select(*cols)
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from conflation_spark.operators.text import with_fingerprints
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    # fp_min/fp_max use xxhash64 (no DuckDB twin) -> only md5 is oracled
+    return with_fingerprints(td, "text").select("text_id", "text_md5")
+
+
+def _q_tile_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from conflation_spark.operators.tiling import DEFAULT_ZOOM, tile_x, tile_y
+    from conflation_spark.sources.spans import decode_points, load_documents
+
+    pts = decode_points(load_documents(spark, _spatial_dir(sf_dir)))
+    return pts.select(
+        "doc_id",
+        F.col("offset").cast("long").alias("offset"),
+        tile_x(F.col("lon"), DEFAULT_ZOOM).alias("tx"),
+        tile_y(F.col("lat"), DEFAULT_ZOOM).alias("ty"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # spatial pipeline (SURVEY.md §2)
         "span_decode_count": _q_span_decode_count,
         "span_fingerprint": _q_span_fingerprint,
         "tf_doc_stats": _q_tf_doc_stats,
         "tf_accepted_docs": _q_tf_accepted,
         "rollup_medians": _q_rollup,
+        "tile_cells": _q_tile_cells,
+        # training-data pipeline
+        "dedup_exact_groups": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_lsh_verified": _q_minhash_verified,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_cosine_pairs": _q_cosine_neardup,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh,
+        "text_stats": _q_text_stats,
+        "token_count": _q_token_count,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        # general SQL
         "tpch_q1": _q_tpch_q1,
     }
+
+
+_DUCK_TOKS = (
+    "list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), "
+    "x -> x <> '')"
+)
+_DUCK_GRAMS = (
+    f"CASE WHEN len({_DUCK_TOKS}) >= 3 THEN list_distinct(list_transform("
+    f"generate_series(1, len({_DUCK_TOKS}) - 2), "
+    f"i -> array_to_string(list_slice({_DUCK_TOKS}, i, i + 2), ' '))) "
+    f"ELSE [array_to_string({_DUCK_TOKS}, ' ')] END"
+)
+
+_DUCK_JACCARD = """
+WITH t AS (
+  SELECT text_id, {grams} AS g
+  FROM read_parquet('{td}/textdocs.parquet')
+),
+e AS (SELECT text_id, unnest(g) AS gram FROM t),
+sz AS (SELECT text_id, count(*) AS sz FROM e GROUP BY text_id),
+inter AS (
+  SELECT a.text_id AS ia, b.text_id AS ib, count(*) AS ni
+  FROM e a JOIN e b ON a.gram = b.gram AND a.text_id < b.text_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       CAST(round(CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) * 10000) AS BIGINT) AS jaccard_c
+FROM inter
+JOIN sz sa ON sa.text_id = ia
+JOIN sz sb ON sb.text_id = ib
+WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.8
+"""
 
 
 def oracle_sql() -> dict[str, str]:
     # oracles must resolve the same fixture dir the queries used at sf0.01
     d = _spatial_dir("/root/testdata/sf0.01")
+    td = _text_dir("/root/testdata/sf0.01")
+    jaccard_sql = _DUCK_JACCARD.format(grams=_DUCK_GRAMS, td=td)
+    langs = ("de", "en", "es", "fr", "zh")
+    from conflation_spark.operators.text import LANG_STOPWORDS
+
+    hit_exprs = ",\n       ".join(
+        "CAST(len(list_filter({toks}, x -> list_contains([{sw}], x))) AS BIGINT) AS hits_{lg}".format(
+            toks=_DUCK_TOKS.replace("text", "text"), sw=", ".join(f"'{w}'" for w in LANG_STOPWORDS[lg]), lg=lg
+        )
+        for lg in langs
+    )
+    m_expr = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case_pred = "CASE " + " ".join(
+        f"WHEN hits_{lg} = {m_expr} THEN '{lg}'" for lg in langs
+    ) + " END"
     return {
+        "dedup_exact_groups": f"""
+WITH h AS (
+  SELECT text_id AS id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_md5
+  FROM read_parquet('{td}/textdocs.parquet')
+)
+SELECT text_md5, count(*) AS n_dups, min(id) AS keep_id
+FROM h GROUP BY text_md5 HAVING count(*) > 1
+""",
+        "ngram_jaccard_pairs": jaccard_sql,
+        "minhash_lsh_verified": jaccard_sql,
+        "embedding_cosine_pairs": f"""
+WITH v AS (SELECT vec_id, vec FROM read_parquet('{td}/vectors.parquet'))
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(list_cosine_similarity(a.vec, b.vec) * 10000) AS BIGINT) AS cosine_c
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.vec, b.vec) >= 0.95
+""",
+        "ann_topk": f"""
+WITH v AS (SELECT vec_id, vec FROM read_parquet('{td}/vectors.parquet')),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM v ORDER BY vec_id LIMIT 20),
+s AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         CAST(round(list_cosine_similarity(q.qvec, v.vec) * 1000000) AS BIGINT) AS cosine_c
+  FROM q CROSS JOIN v WHERE q.query_id <> v.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_c DESC, neighbor_id) AS BIGINT) AS rank,
+       cosine_c
+FROM s
+QUALIFY rank <= 10
+""",
+        "text_stats": f"""
+WITH base AS (
+  SELECT text_id, text,
+         {_DUCK_TOKS} AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}]', '', 'g')) AS n_punct
+  FROM read_parquet('{td}/textdocs.parquet')
+),
+m AS (
+  SELECT text_id,
+         CAST(n_chars AS BIGINT) AS n_chars_q,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','with'], x))) AS DOUBLE)/len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)/len(toks) END AS mean_tok_len
+  FROM base
+)
+SELECT text_id, n_chars_q, n_tokens,
+       CAST(round(punct_ratio * 10000) AS BIGINT) AS punct_ratio_c,
+       CAST(round(stop_ratio * 10000) AS BIGINT) AS stop_ratio_c,
+       CAST(100
+            - CASE WHEN n_tokens < 5 THEN 40 ELSE 0 END
+            - CASE WHEN punct_ratio > 0.1 THEN 20 ELSE 0 END
+            - CASE WHEN mean_tok_len IS NULL OR mean_tok_len < 3 OR mean_tok_len > 12 THEN 20 ELSE 0 END
+            - CASE WHEN stop_ratio < 0.01 THEN 10 ELSE 0 END AS BIGINT) AS quality_score
+FROM m
+""",
+        "token_count": """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_pieces
+FROM documents
+""",
+        "lang_id": f"""
+WITH h AS (
+  SELECT doc_id,
+       {hit_exprs}
+  FROM documents
+)
+SELECT doc_id, {case_pred} AS lang_pred,
+       hits_de, hits_en, hits_es, hits_fr, hits_zh
+FROM h
+""",
+        "doc_fingerprint": f"""
+SELECT text_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_md5
+FROM read_parquet('{td}/textdocs.parquet')
+""",
+        "tile_cells": f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s
+  FROM read_parquet('{d}/documents.parquet')
+),
+pts AS (
+  SELECT doc_id, CAST(s.offset AS BIGINT) AS "offset",
+         CAST(json_extract(s.text, '$.lon') AS DOUBLE) AS lon,
+         CAST(json_extract(s.text, '$.lat') AS DOUBLE) AS lat
+  FROM sp WHERE s.kind = 'gps'
+),
+c AS (
+  SELECT doc_id, "offset",
+         least(greatest(lon, -179.9999), 179.9999) AS lon_c,
+         radians(least(greatest(lat, -85.0511), 85.0511)) AS lat_r
+  FROM pts
+)
+SELECT doc_id, "offset",
+       CAST(floor((lon_c + 180.0) / 360.0 * 65536.0) AS BIGINT) AS tx,
+       CAST(floor((1.0 - ln(tan(lat_r) + sqrt(tan(lat_r)*tan(lat_r) + 1.0)) / pi()) / 2.0 * 65536.0) AS BIGINT) AS ty
+FROM c
+""",
         "span_decode_count": f"""
 WITH sp AS (
   SELECT doc_id, unnest(spans) AS s

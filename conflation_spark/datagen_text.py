@@ -1,0 +1,114 @@
+"""Deterministic text + vector fixtures for the training-data-pipeline
+operators (dedup / similarity / text analysis).
+
+Planted structure (all seeded):
+- textdocs: ~72% unique sentences over a small vocab, ~8% EXACT dups of an
+  earlier doc (re-cased / re-spaced, so normalization matters), ~10%
+  NEAR-dups (~2% of words replaced -> word-3-gram Jaccard >= ~0.9), ~10%
+  short/junky docs (quality-score fodder).
+- vectors: unit-ish gaussian vectors (dim 64); ~10% near-dups of an earlier
+  vector (tiny noise -> cosine > 0.99).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "spark", "query", "table", "join", "scan", "merge", "filter", "window",
+    "stream", "batch", "row", "column", "data", "value", "key", "sort",
+    "group", "hash", "index", "cache", "shuffle", "plan", "cost", "stats",
+    "fast", "slow", "small", "large", "wide", "deep", "cold", "warm",
+    "north", "south", "east", "west", "alpha", "beta", "gamma", "delta",
+]
+
+SF_TEXT = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 8000, "sf1": 30000}
+SF_VEC = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 6000, "sf1": 20000}
+DIM = 64
+
+
+def gen_textdocs(out_dir: str, n: int, seed: int = 7) -> None:
+    rng = np.random.default_rng(seed)
+    texts: list[str] = []
+    kinds: list[str] = []
+    for i in range(n):
+        r = rng.random()
+        if i > 10 and r < 0.08:  # exact dup, re-cased/spaced
+            src = texts[int(rng.integers(0, i))]
+            t = "  " + src.upper() if rng.random() < 0.5 else src + "  "
+            kinds.append("exact_dup")
+        elif i > 10 and r < 0.18:  # near dup: replace ~2% of words
+            src = texts[int(rng.integers(0, i))].split()
+            nrep = max(1, len(src) // 50)
+            for _ in range(nrep):
+                src[int(rng.integers(0, len(src)))] = VOCAB[int(rng.integers(0, len(VOCAB)))]
+            t = " ".join(src)
+            kinds.append("near_dup")
+        elif r < 0.28:  # junk
+            t = " ".join(VOCAB[int(rng.integers(0, len(VOCAB)))] for _ in range(int(rng.integers(1, 4))))
+            if rng.random() < 0.5:
+                t += "!!! ??? ;;; ,,,"
+            kinds.append("junk")
+        else:
+            ln = int(rng.integers(40, 90))
+            t = " ".join(VOCAB[int(rng.integers(0, len(VOCAB)))] for _ in range(ln))
+            kinds.append("base")
+        texts.append(t)
+    tbl = pa.table(
+        {
+            "text_id": pa.array([f"t{i:06d}" for i in range(n)], pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "textdocs.parquet"), row_group_size=512)
+
+
+def gen_vectors(out_dir: str, n: int, seed: int = 11) -> None:
+    rng = np.random.default_rng(seed)
+    vecs = np.zeros((n, DIM), dtype=np.float64)
+    kinds = []
+    for i in range(n):
+        if i > 10 and rng.random() < 0.10:
+            j = int(rng.integers(0, i))
+            vecs[i] = vecs[j] + rng.normal(0, 0.01, DIM)
+            kinds.append("near_dup")
+        else:
+            vecs[i] = rng.normal(0, 1.0, DIM)
+            kinds.append("base")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([f"v{i:06d}" for i in range(n)], pa.string()),
+            "vec": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float64())),
+            "kind": pa.array(kinds, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "vectors.parquet"), row_group_size=512)
+
+
+def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
+    root = root or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "text"
+    )
+    if sf_name not in SF_TEXT:
+        sf_name = "sf0.01"
+    out = os.path.join(root, sf_name)
+    marker = os.path.join(out, "_SUCCESS_v1")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    gen_textdocs(out, SF_TEXT[sf_name])
+    gen_vectors(out, SF_VEC[sf_name])
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+if __name__ == "__main__":
+    import sys
+
+    print(ensure_text_fixture(sys.argv[1] if len(sys.argv) > 1 else "sf0.01"))

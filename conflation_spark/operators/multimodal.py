@@ -1,0 +1,110 @@
+"""Multimodal column handling: image/audio/video as opaque binary + metadata.
+
+The decode libraries (PIL/ffmpeg/etc.) are NOT in this container, so the
+decode kernels are stubbed behind ``NotImplementedError`` with a
+deterministic fake used by tests — but the Spark-side plumbing is real:
+schemas, mapInPandas batch iteration, Arrow binary transfer, partition
+sizing. Swap ``_decode_image_stub`` for a real decoder on a cluster with
+the libs installed and nothing else changes.
+
+Media rides in documents as ``kind='media'`` spans (``media_ref`` keys into
+a blobs table), mirroring the reference where every trace point IS an image
+(Mapillary image ids, /root/reference/conflation/trace_fetching/mapillary.py:41,448-456).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "media_ref string, media_kind string, n_bytes long, content_sha1 string"
+)
+IMAGE_FEATURE_SCHEMA = (
+    "media_ref string, width int, height int, feature array<float>"
+)
+FRAME_SAMPLE_SCHEMA = "media_ref string, frame_idx int, frame_sha1 string"
+
+FEATURE_DIM = 16
+
+
+def synth_blobs(spark, documents: DataFrame) -> DataFrame:
+    """Deterministic fake blob table for every media_ref in the documents
+    (content = repeated sha-derived bytes; stands in for real object-store
+    payloads)."""
+    refs = (
+        documents.select(F.explode("spans").alias("s"))
+        .where(F.col("s.media_ref") != "")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    payload = F.unhex(F.sha2(F.col("media_ref").cast("binary"), 256))
+    return refs.withColumn("content", payload).withColumn(
+        "media_kind",
+        F.when(F.crc32(F.col("media_ref").cast("binary")) % 3 == 0, "image")
+        .when(F.crc32(F.col("media_ref").cast("binary")) % 3 == 1, "audio")
+        .otherwise("video"),
+    )
+
+
+def _decode_image_stub(content: bytes) -> tuple[int, int, np.ndarray]:
+    """STUB: real impl would be PIL/turbojpeg decode. Deterministic fake:
+    dims + feature vector derived from the content digest."""
+    if content is None:
+        raise NotImplementedError("real image decode requires PIL — not in container")
+    d = hashlib.sha1(content).digest()
+    width = 64 + d[0]
+    height = 64 + d[1]
+    feat = np.frombuffer(d[:FEATURE_DIM], dtype=np.uint8).astype(np.float32) / 255.0
+    return width, height, feat
+
+
+def media_metadata(blobs: DataFrame) -> DataFrame:
+    """Typed metadata over the binary column — pure column ops."""
+    return blobs.select(
+        "media_ref",
+        "media_kind",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.sha1("content").alias("content_sha1"),
+    )
+
+
+def extract_image_features(blobs: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """mapInPandas over binary content -> (width, height, feature[16]).
+
+    Real Arrow binary batches; the decode kernel is the stub above.
+    Partition-friendly: stateless per batch, no driver collection.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                w, h, feat = _decode_image_stub(bytes(content))
+                rows.append((ref, w, h, feat.tolist()))
+            yield pd.DataFrame(rows, columns=["media_ref", "width", "height", "feature"])
+
+    imgs = blobs.where(F.col("media_kind") == "image").select("media_ref", "content")
+    return imgs.mapInPandas(op, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def sample_frames(blobs: DataFrame, every_n: int = 2, n_frames: int = 3) -> DataFrame:
+    """Video frame-sampling plumbing: mapInPandas emitting n_frames rows per
+    video blob (decode stubbed: frame digest derived from content+idx)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                for i in range(0, n_frames * every_n, every_n):
+                    digest = hashlib.sha1(bytes(content) + i.to_bytes(4, "big")).hexdigest()
+                    rows.append((ref, i, digest))
+            yield pd.DataFrame(rows, columns=["media_ref", "frame_idx", "frame_sha1"])
+
+    vids = blobs.where(F.col("media_kind") == "video").select("media_ref", "content")
+    return vids.mapInPandas(op, schema=FRAME_SAMPLE_SCHEMA)

@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All JVM-side column expressions (regexp/split/aggregate) — no Python in the
+hot path. Each operator has a DuckDB-expressible twin in __spark_entry__ so
+the driver's oracle gate covers it.
+
+Operators:
+- token_count: whitespace tokens + a BPE-ish subword proxy (regex pieces)
+- quality_score: length / punctuation-ratio / stopword-ratio heuristics
+- lang_id: stopword-hit n-gram heuristic over a fixed per-language lexicon
+- fingerprint: md5 of whitespace-normalized lowercase text (exact-dup key)
+  plus a k-gram rolling min-hash (content fingerprint robust to small edits)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny, fixed stopword lexicons (shared verbatim with the DuckDB oracles)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "mit", "von", "ein"],
+    "es": ["el", "la", "los", "de", "que", "es", "con", "por"],
+    "fr": ["le", "la", "les", "des", "est", "avec", "que", "une"],
+    "zh": ["de", "shi", "le", "zai", "he", "you", "wo", "ta"],
+}
+
+BPE_PIECE_RE = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of lowercased text, empty strings removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumn("n_tokens", F.size(tokens_col(t)).cast("long")).withColumn(
+        "n_bpe_pieces", F.size(F.regexp_extract_all(F.lower(t), F.lit(BPE_PIECE_RE), 0)).cast("long")
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length, punct ratio, stopword ratio, mean token length + a 0-100
+    integer quality score (deterministic, shared with the SQL oracle)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}]", ""))
+    toks = tokens_col(t)
+    n_tokens = F.size(toks)
+    en_sw = LANG_STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(en_sw)))
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        / n_tokens,
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.lit(100)
+        - F.when(n_tokens < 5, 40).otherwise(0)
+        - F.when(punct_ratio > 0.1, 20).otherwise(0)
+        - F.when(mean_tok_len.isNull() | (mean_tok_len < 3) | (mean_tok_len > 12), 20).otherwise(0)
+        - F.when(stop_ratio < 0.01, 10).otherwise(0)
+    )
+    return (
+        df.withColumn("n_chars_q", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("punct_ratio_c", F.round(punct_ratio * 10000).cast("long"))
+        .withColumn("stop_ratio_c", F.round(stop_ratio * 10000).cast("long"))
+        .withColumn("quality_score", score.cast("long"))
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax of per-language stopword hits; ties broken by language code
+    order (deterministic). Emits the predicted lang + per-lang hit counts."""
+    toks = tokens_col(F.col(text_col))
+    out = df
+    for lang, sws in LANG_STOPWORDS.items():
+        out = out.withColumn(
+            f"hits_{lang}", F.size(F.filter(toks, lambda x: x.isin(sws))).cast("long")
+        )
+    # deterministic argmax: max hit count, ties -> first lang in sorted order
+    # (expressed as a CASE chain so the DuckDB oracle is literally the same)
+    langs = sorted(LANG_STOPWORDS)
+    m = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F
+    expr = None
+    for lang in langs:
+        cond = F.col(f"hits_{lang}") == m
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    del pred
+    return out.withColumn("lang_pred", expr)
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
+    """Exact-dup key: md5 of whitespace-normalized lowercase text.
+    Rolling-hash content fingerprint: min/max xxhash64 over character
+    k-grams of the normalized text (winnowing-lite)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - k + 1, F.lit(1))),
+        lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
+    )
+    return (
+        df.withColumn("text_md5", F.md5(norm))
+        .withColumn("fp_min", F.array_min(grams).cast("long"))
+        .withColumn("fp_max", F.array_max(grams).cast("long"))
+    )

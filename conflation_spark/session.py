@@ -37,6 +37,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local fixtures are small single files; split scans at row-group
+        # granularity so map-side stages use every core (on a real cluster
+        # with TB-scale multi-file tables the 128m default is fine)
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

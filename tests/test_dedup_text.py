@@ -1,0 +1,182 @@
+"""Dedup + text-analysis operators vs brute-force Python oracles on the
+planted-duplicate text fixture."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from conflation_spark.datagen_text import ensure_text_fixture
+from conflation_spark.operators import dedup, text
+
+
+@pytest.fixture(scope="module")
+def textdocs(spark):
+    d = ensure_text_fixture("sf0.001")
+    return spark.read.parquet(f"{d}/textdocs.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def texts_local(textdocs):
+    return {r["text_id"]: r["text"] for r in textdocs.collect()}
+
+
+def _norm(t):
+    return re.sub(r"\s+", " ", t.strip().lower())
+
+
+def _shingles(t, k=3):
+    toks = [x for x in _norm(t).split(" ") if x]
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _jaccard(a, b):
+    i = len(a & b)
+    return i / (len(a) + len(b) - i) if (a or b) else 0.0
+
+
+def test_exact_dup_groups(spark, textdocs, texts_local):
+    got = {
+        (r["text_md5"], r["n_dups"], r["keep_id"])
+        for r in dedup.exact_dup_groups(textdocs, "text_id", "text").collect()
+    }
+    groups = {}
+    for tid, t in texts_local.items():
+        groups.setdefault(hashlib.md5(_norm(t).encode()).hexdigest(), []).append(tid)
+    want = {(m, len(ids), min(ids)) for m, ids in groups.items() if len(ids) > 1}
+    assert got == want
+    assert len(want) > 3  # planted exact dups found
+
+
+def test_exact_dedup_keeps_one(spark, textdocs, texts_local):
+    kept = dedup.exact_dedup(textdocs, "text_id", "text")
+    n_distinct = len({_norm(t) for t in texts_local.values()})
+    assert kept.count() == n_distinct
+
+
+def test_ngram_jaccard_pairs(spark, textdocs, texts_local):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_c"]
+        for r in dedup.ngram_jaccard_pairs(textdocs, "text_id", "text", 3, 0.8).collect()
+    }
+    sh = {tid: _shingles(t) for tid, t in texts_local.items()}
+    ids = sorted(sh)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = _jaccard(sh[a], sh[b])
+            if j >= 0.8:
+                want[(a, b)] = round(j * 10000)
+    assert got == want
+    assert len(want) > 5  # planted near+exact dups
+
+
+def test_minhash_lsh_recall(spark, textdocs, texts_local):
+    """On the planted fixture every true pair with j >= 0.8 must be an LSH
+    candidate (recall 1.0 — deterministic for this seed); precision is
+    whatever banding gives, verified downstream by exact jaccard."""
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(textdocs, "text_id", "text").collect()
+    }
+    sh = {tid: _shingles(t) for tid, t in texts_local.items()}
+    ids = sorted(sh)
+    true_pairs = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if _jaccard(sh[a], sh[b]) >= 0.8
+    }
+    assert true_pairs, "fixture must contain high-jaccard pairs"
+    assert true_pairs <= cands  # full recall on planted dups
+
+
+def test_simhash_pairs_vs_bruteforce(spark, textdocs, texts_local):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(textdocs, "text_id", "text", 3).collect()
+    }
+
+    def simhash(t):
+        toks = str(t).lower().split()
+        v = [0] * 64
+        for tok in toks:
+            h = dedup.hash_token(tok)
+            for b in range(64):
+                v[b] += 1 if (h >> b) & 1 else -1
+        out = 0
+        for b in range(64):
+            if v[b] > 0:
+                out |= 1 << b
+        return out
+
+    sims = {tid: simhash(t) for tid, t in texts_local.items() if t and str(t).split()}
+    ids = sorted(sims)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sims[a] ^ sims[b]).count("1")
+            if h <= 3:
+                # banding guarantee: hamming<=3 pairs share >=1 16-bit chunk
+                want[(a, b)] = h
+    assert got == want
+    assert len(want) > 3
+
+
+def test_embedding_cosine_pairs(spark):
+    d = ensure_text_fixture("sf0.001")
+    vecs = spark.read.parquet(f"{d}/vectors.parquet")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(vecs, "vec_id", "vec", 0.95).collect()
+    }
+    import numpy as np
+
+    rows = vecs.collect()
+    v = {r["vec_id"]: np.array(r["vec"]) for r in rows}
+    ids = sorted(v)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = float(v[a] @ v[b] / (np.linalg.norm(v[a]) * np.linalg.norm(v[b])))
+            if c >= 0.95:
+                want.add((a, b))
+    assert got == want
+    assert len(want) > 5
+
+
+def test_token_count_and_quality(spark, textdocs, texts_local):
+    got = {
+        r["text_id"]: (r["n_tokens"], r["quality_score"])
+        for r in text.with_quality(textdocs, "text").select(
+            "text_id", "n_tokens", "quality_score"
+        ).collect()
+    }
+    for tid, t in texts_local.items():
+        toks = [x for x in t.lower().split() if x]
+        assert got[tid][0] == len(toks), tid
+    scores = [s for _, s in got.values()]
+    # junk docs are penalized hard; base docs stay high (vocab has no English
+    # stopwords, so the -10 stopword penalty applies to every doc)
+    assert min(scores) < 60 and max(scores) >= 90
+
+
+def test_lang_id_deterministic(spark, textdocs):
+    out1 = {r["text_id"]: r["lang_pred"] for r in text.with_lang_id(textdocs).collect()}
+    out2 = {
+        r["text_id"]: r["lang_pred"]
+        for r in text.with_lang_id(textdocs.repartition(5)).collect()
+    }
+    assert out1 == out2
+
+
+def test_fingerprints(spark, textdocs, texts_local):
+    fp = text.with_fingerprints(textdocs)
+    rows = {r["text_id"]: (r["text_md5"], r["fp_min"], r["fp_max"]) for r in fp.collect()}
+    for tid, t in texts_local.items():
+        assert rows[tid][0] == hashlib.md5(_norm(t).encode()).hexdigest()
+    # near-dup docs share no md5 but exact dups do
+    assert len({v[0] for v in rows.values()}) < len(rows)

@@ -1,0 +1,111 @@
+"""Tile math: lon/lat <-> slippy round trips incl. clamps, bbox-overlap
+strict inequalities, half-open point-in-bbox (FIXTURES.md §4)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from conflation_spark.operators import tiling
+
+
+def _tile_xy_py(lon, lat, z):
+    lon = max(-tiling.MAX_LON, min(tiling.MAX_LON, lon))
+    lat = max(-tiling.MAX_LAT, min(tiling.MAX_LAT, lat))
+    x = int((lon + 180.0) / 360.0 * (1 << z))
+    y = int((1.0 - math.asinh(math.tan(math.radians(lat))) / math.pi) / 2.0 * (1 << z))
+    return x, y
+
+
+def test_tile_encode_matches_python(spark):
+    pts = [
+        (0.0, 0.0), (10.0, 35.0), (-70.0, -20.0), (179.99999, 85.5),
+        (-180.0, -86.0), (24.6, 42.0), (0.0001, -0.0001),
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    for z in (5, 14, 16):
+        got = df.select(
+            tiling.tile_x(F.col("lon"), z).alias("x"),
+            tiling.tile_y(F.col("lat"), z).alias("y"),
+        ).collect()
+        for (lon, lat), r in zip(pts, got):
+            assert (r["x"], r["y"]) == _tile_xy_py(lon, lat, z), (lon, lat, z)
+
+
+def test_tile_decode_inverse(spark):
+    z = 14
+    df = spark.createDataFrame([(x, y) for x in (0, 100, 9000) for y in (0, 50, 8000)],
+                               "x long, y long")
+    back = df.select(
+        "x", "y",
+        tiling.tile_nw_lon(F.col("x"), z).alias("lon"),
+        tiling.tile_nw_lat(F.col("y"), z).alias("lat"),
+    )
+    rt = back.select(
+        "x", "y",
+        tiling.tile_x(F.col("lon") + 1e-9, z).alias("x2"),
+        tiling.tile_y(F.col("lat") - 1e-9, z).alias("y2"),
+    ).collect()
+    for r in rt:
+        assert r["x"] == r["x2"] and r["y"] == r["y2"]
+
+
+def test_bbox_overlap_strict(spark):
+    df = spark.range(1)
+    # touching edges do NOT overlap (mapillary.py:731-745)
+    touching = df.select(
+        tiling.bbox_overlaps(
+            F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(1.0),
+            F.lit(1.0), F.lit(0.0), F.lit(2.0), F.lit(1.0),
+        ).alias("o")
+    ).collect()[0]["o"]
+    assert touching is False
+    overlapping = df.select(
+        tiling.bbox_overlaps(
+            F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(1.0),
+            F.lit(0.999), F.lit(0.0), F.lit(2.0), F.lit(1.0),
+        ).alias("o")
+    ).collect()[0]["o"]
+    assert overlapping is True
+
+
+def test_point_in_bbox_half_open(spark):
+    df = spark.range(1)
+    def inb(lon, lat):
+        return df.select(
+            tiling.point_in_bbox(
+                F.lit(lon), F.lit(lat), F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(1.0)
+            ).alias("i")
+        ).collect()[0]["i"]
+    assert inb(0.0, 0.0) is True      # lower edge included
+    assert inb(1.0, 0.5) is False     # upper edge excluded
+    assert inb(0.5, 1.0) is False
+    assert inb(0.9999, 0.9999) is True
+
+
+def test_edge_covering_cells_contains_endpoint_cells(spark, fixture_dir):
+    edges = spark.read.parquet(f"{fixture_dir}/edges.parquet").limit(200)
+    cov = tiling.edge_covering_cells(
+        edges.select("edge_id", "src", "dst", "lon1", "lat1", "lon2", "lat2"), 16
+    )
+    cells = {}
+    for r in cov.collect():
+        cells.setdefault(r["edge_id"], set()).add(r["cell"])
+    pts = edges.select(
+        "edge_id",
+        tiling.cell_of(F.col("lon1"), F.col("lat1"), 16).alias("c1"),
+        tiling.cell_of(F.col("lon2"), F.col("lat2"), 16).alias("c2"),
+    ).collect()
+    for r in pts:
+        assert r["c1"] in cells[r["edge_id"]]
+        assert r["c2"] in cells[r["edge_id"]]
+
+
+def test_prune_to_cells(spark, fixture_dir):
+    edges = spark.read.parquet(f"{fixture_dir}/edges.parquet")
+    cov = tiling.edge_covering_cells(
+        edges.select("edge_id", "src", "dst", "lon1", "lat1", "lon2", "lat2"), 16
+    )
+    keep = cov.select("cell").distinct().limit(10)
+    pruned = tiling.prune_to_cells(cov, keep)
+    kept_cells = {r["cell"] for r in keep.collect()}
+    assert {r["cell"] for r in pruned.collect()} <= kept_cells
