@@ -302,9 +302,29 @@ def _q_tile_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from conflation_spark.operators.scan_filters import recency_filter
+    from conflation_spark.sources.spans import decode_points, load_documents
+
+    pts = decode_points(load_documents(spark, _spatial_dir(sf_dir)))
+    kept = recency_filter(pts, 1.65e9)
+    return kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_pts"))
+
+
+def _q_cell_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from conflation_spark.operators.scan_filters import cap_sequences_per_cell
+    from conflation_spark.sources.spans import decode_points, load_documents
+
+    pts = decode_points(load_documents(spark, _spatial_dir(sf_dir)))
+    kept = cap_sequences_per_cell(pts, max_per_cell=3, zoom=14)
+    return kept.select("doc_id").distinct()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # spatial pipeline (SURVEY.md §2)
+        "recency_filter": _q_recency,
+        "cell_seq_cap": _q_cell_cap,
         "span_decode_count": _q_span_decode_count,
         "span_fingerprint": _q_span_fingerprint,
         "tf_doc_stats": _q_tf_doc_stats,
@@ -379,6 +399,48 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN hits_{lg} = {m_expr} THEN '{lg}'" for lg in langs
     ) + " END"
     return {
+        "recency_filter": f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s
+  FROM read_parquet('{d}/documents.parquet')
+),
+pts AS (
+  SELECT doc_id, s.offset AS off,
+         CAST(json_extract(s.text, '$.time') AS DOUBLE) AS t
+  FROM sp WHERE s.kind = 'gps'
+),
+first AS (SELECT doc_id, min_by(t, off) AS t0, count(*) AS n_pts FROM pts GROUP BY doc_id)
+SELECT doc_id, n_pts FROM first WHERE t0 >= 1.65e9
+""",
+        "cell_seq_cap": f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s
+  FROM read_parquet('{d}/documents.parquet')
+),
+pts AS (
+  SELECT doc_id, s.offset AS off,
+         CAST(json_extract(s.text, '$.lon') AS DOUBLE) AS lon,
+         CAST(json_extract(s.text, '$.lat') AS DOUBLE) AS lat
+  FROM sp WHERE s.kind = 'gps'
+),
+first AS (
+  SELECT doc_id, min_by(lon, off) AS lon0, min_by(lat, off) AS lat0
+  FROM pts GROUP BY doc_id
+),
+cells AS (
+  SELECT doc_id,
+         CAST(floor((least(greatest(lon0, -179.9999), 179.9999) + 180.0) / 360.0 * 16384.0) AS BIGINT) * 16384
+         + CAST(floor((1.0 - ln(tan(radians(least(greatest(lat0, -85.0511), 85.0511)))
+                 + sqrt(tan(radians(least(greatest(lat0, -85.0511), 85.0511)))
+                        * tan(radians(least(greatest(lat0, -85.0511), 85.0511))) + 1.0)) / pi()) / 2.0 * 16384.0) AS BIGINT)
+         AS owner_cell
+  FROM first
+)
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY owner_cell ORDER BY doc_id) AS rn
+  FROM cells
+) WHERE rn <= 3
+""",
         "dedup_exact_groups": f"""
 WITH h AS (
   SELECT text_id AS id,

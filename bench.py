@@ -32,7 +32,7 @@ def F_mod_id():
     return F.pmod(F.col("id"), F.lit(64))
 
 
-def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
+def run_bench(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False) -> dict:
     from conflation_spark.datagen import ensure_fixture
     from conflation_spark.plans.pipeline import run_pipeline
     from conflation_spark.session import get_spark
@@ -59,22 +59,21 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
         queries["pipeline_e2e"] = round(time.time() - t0, 3)
 
         # per-stage timings from the lineage manifests
-        from conflation_spark.plans.pipeline import read_lineage
+        from conflation_spark.plans.pipeline import STAGES, read_lineage
 
-        for st in ["points", "filtered_points", "traversals", "measurements"]:
+        for st in STAGES:
             queries[f"stage_{st}_write_s"] = read_lineage(work, st)["write_seconds"]
 
         # operator queries (driver tables at sf_dir + spatial fixture)
-        import __spark_entry__ as em
+        if not pipeline_only:
+            import __spark_entry__ as em
 
-        for name, fn in em.queries().items():
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            queries[name] = round(time.time() - t0, 3)
+            for name, fn in em.queries().items():
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                queries[name] = round(time.time() - t0, 3)
 
-        n_docs = counts["points"] and spark.read.parquet(
-            f"{fixture}/documents.parquet"
-        ).count()
+        n_docs = spark.read.parquet(f"{fixture}/documents.parquet").count()
         accepted_docs = (
             spark.read.parquet(os.path.join(work, "checkpoints", "filtered_points"))
             .select("doc_id")
@@ -92,7 +91,7 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
             "throughput": {
                 "docs_per_sec": round(n_docs / total, 2),
                 "accepted_docs_per_sec": round(accepted_docs / total, 2),
-                "points_per_sec": round(counts["points"] / total, 1),
+                "points_per_sec": round(counts["filtered_points"] / total, 1),
                 "n_docs": n_docs,
                 "n_accepted_docs": accepted_docs,
                 "rows": counts,

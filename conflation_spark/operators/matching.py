@@ -173,19 +173,246 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
     return pd.DataFrame(out, columns=cols)
 
 
-def match_traces(points: DataFrame, candidates: DataFrame) -> DataFrame:
+K_SLOTS = 4  # top-k candidates per point (padded width of the DP tensors)
+
+
+def viterbi_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Batch-vectorized Viterbi over MANY docs at once.
+
+    Input rows sorted by (doc_id, offset, dist_m, edge_id). Emission and
+    transition tensors for the entire batch are built in single vectorized
+    shots — (P, k) and (P-1, k, k) ndarrays over all P points of all docs —
+    leaving only the inherently-sequential DP recurrence as a Python loop of
+    tiny (k,)/(k,k) ops. Produces EXACTLY the same traversals as
+    ``viterbi_one_doc`` (same candidate order, same first-wins argmax,
+    same chain-break semantics); equality is asserted in tests.
+    """
+    cols = ["doc_id", "edge_seq", "edge_id", "elapsed_time", "n_pts", "n_points", "n_unmatched"]
+    if not len(pdf):
+        return pd.DataFrame(columns=cols)
+
+    doc_codes, doc_uniques = pd.factorize(pdf["doc_id"], sort=False)
+    offsets = pdf["offset"].to_numpy()
+    times = pdf["time"].to_numpy(dtype="float64")
+    lons = pdf["lon"].to_numpy(dtype="float64")
+    lats = pdf["lat"].to_numpy(dtype="float64")
+    has_cand = pdf["edge_id"].notna().to_numpy()
+    e_id = pdf["edge_id"].to_numpy(dtype="float64", na_value=np.nan)
+    e_src = pdf["src"].to_numpy(dtype="float64", na_value=np.nan)
+    e_dst = pdf["dst"].to_numpy(dtype="float64", na_value=np.nan)
+    e_dist = pdf["dist_m"].to_numpy(dtype="float64", na_value=np.nan)
+    e_t = pdf["t_param"].to_numpy(dtype="float64", na_value=np.nan)
+    e_len = pdf["len_m"].to_numpy(dtype="float64", na_value=np.nan)
+
+    n_rows = len(pdf)
+    # point index: one per distinct (doc, offset), in row order
+    new_point = np.empty(n_rows, dtype=bool)
+    new_point[0] = True
+    new_point[1:] = (doc_codes[1:] != doc_codes[:-1]) | (offsets[1:] != offsets[:-1])
+    point_idx = np.cumsum(new_point) - 1
+    P = int(point_idx[-1]) + 1
+    point_start = np.flatnonzero(new_point)
+    slot = np.arange(n_rows) - point_start[point_idx]
+
+    # per-point arrays (from each point's first row)
+    p_doc = doc_codes[point_start]
+    p_time = times[point_start]
+    p_lon = lons[point_start]
+    p_lat = lats[point_start]
+
+    # scatter candidate rows into (P, K) padded tensors
+    ok = has_cand & (slot < K_SLOTS)
+    pi, si = point_idx[ok], slot[ok]
+
+    def scat(src, fill):
+        out = np.full((P, K_SLOTS), fill, dtype="float64")
+        out[pi, si] = src[ok]
+        return out
+
+    c_id = scat(e_id, np.nan)
+    c_src = scat(e_src, np.nan)
+    c_dst = scat(e_dst, np.nan)
+    c_dist = scat(e_dist, np.inf)
+    c_t = scat(e_t, 0.0)
+    c_len = scat(e_len, 0.0)
+    valid = np.zeros((P, K_SLOTS), dtype=bool)
+    valid[pi, si] = True
+    p_has = valid.any(axis=1)
+
+    NEG = -1e30
+    emis = np.where(valid, -0.5 * (c_dist / SIGMA_M) ** 2, NEG)
+
+    # pairwise tensors between consecutive points (within the batch; pairs
+    # crossing doc boundaries are masked off in the DP loop)
+    if P > 1:
+        lon1, lat1 = np.radians(p_lon[:-1]), np.radians(p_lat[:-1])
+        lon2, lat2 = np.radians(p_lon[1:]), np.radians(p_lat[1:])
+        aa = (
+            np.sin((lat2 - lat1) / 2) ** 2
+            + np.cos(lat1) * np.cos(lat2) * np.sin((lon2 - lon1) / 2) ** 2
+        )
+        gc = 2 * np.arcsin(np.sqrt(aa)) * EARTH_RADIUS_M  # (P-1,)
+
+        ida, idb = c_id[:-1, :, None], c_id[1:, None, :]
+        sa, sb = c_src[:-1, :, None], c_src[1:, None, :]
+        da, db = c_dst[:-1, :, None], c_dst[1:, None, :]
+        ta, tb = c_t[:-1, :, None], c_t[1:, None, :]
+        la, lb = c_len[:-1, :, None], c_len[1:, None, :]
+        a_fwd, a_bwd = (1 - ta) * la, ta * la
+        b_fwd, b_bwd = tb * lb, (1 - tb) * lb
+        same = ida == idb
+        route = np.select(
+            [same, da == sb, da == db, sa == sb, sa == db],
+            [np.abs(tb - ta) * la, a_fwd + b_fwd, a_fwd + b_bwd, a_bwd + b_fwd, a_bwd + b_bwd],
+            default=np.nan,
+        )
+        g3 = gc[:, None, None]
+        trans = np.where(
+            np.isnan(route),
+            JUMP_LOGP - g3 / BETA_M,
+            -np.abs(route - g3) / BETA_M + np.where(same, 0.0, SWITCH_LOGP),
+        )
+    else:
+        trans = np.zeros((0, K_SLOTS, K_SLOTS))
+
+    # sequential DP with chain breaks at doc boundaries / candidate-less pts
+    matched_slot = np.full(P, -1, dtype=np.int64)
+    back = np.empty((P, K_SLOTS), dtype=np.int64)
+    arangek = np.arange(K_SLOTS)
+
+    chain_start = -1
+    scores = None
+
+    def flush(end_p):
+        # backtrack chain [chain_start, end_p]
+        if chain_start < 0:
+            return
+        best = int(np.argmax(scores))
+        p = end_p
+        while p > chain_start:
+            matched_slot[p] = best
+            best = int(back[p, best])
+            p -= 1
+        matched_slot[chain_start] = best
+
+    for p in range(P):
+        broke = p == 0 or p_doc[p] != p_doc[p - 1] or not p_has[p] or not p_has[p - 1]
+        if not p_has[p]:
+            flush(p - 1)
+            chain_start, scores = -1, None
+            continue
+        if broke or scores is None:
+            flush(p - 1)
+            chain_start = p
+            scores = emis[p].copy()
+            continue
+        cand_scores = scores[:, None] + trans[p - 1]
+        b = np.argmax(cand_scores, axis=0)
+        back[p] = b
+        scores = cand_scores[b, arangek] + emis[p]
+    flush(P - 1)
+
+    # vectorized collapse of consecutive same-edge points into traversals
+    sel = matched_slot >= 0
+    m_edge = np.where(sel, c_id[np.arange(P), np.clip(matched_slot, 0, None)], np.nan)
+    # per-doc stats
+    n_points_per_doc = np.bincount(p_doc, minlength=len(doc_uniques))
+    n_unmatched_per_doc = np.bincount(p_doc[~p_has], minlength=len(doc_uniques))
+    doc_first_time = np.full(len(doc_uniques), np.nan)
+    first_point_of_doc = np.empty(0, dtype=np.int64)
+    newd = np.empty(P, dtype=bool)
+    newd[0] = True
+    newd[1:] = p_doc[1:] != p_doc[:-1]
+    first_point_of_doc = np.flatnonzero(newd)
+    doc_first_time[p_doc[first_point_of_doc]] = p_time[first_point_of_doc]
+
+    mp = np.flatnonzero(sel)  # matched points in order
+    if not len(mp):
+        return pd.DataFrame(columns=cols)
+    md = p_doc[mp]
+    me = m_edge[mp]
+    new_run = np.empty(len(mp), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (md[1:] != md[:-1]) | (me[1:] != me[:-1])
+    run_idx = np.cumsum(new_run) - 1
+    R = int(run_idx[-1]) + 1
+    run_start = np.flatnonzero(new_run)
+    run_doc = md[run_start]
+    run_edge = me[run_start].astype(np.int64)
+    run_npts = np.bincount(run_idx, minlength=R)
+    # last point of each run = element before next run start (or last)
+    run_end = np.append(run_start[1:], len(mp)) - 1
+    run_last_time = p_time[mp[run_end]]
+    # edge_seq: position of run within its doc
+    new_doc_run = np.empty(R, dtype=bool)
+    new_doc_run[0] = True
+    new_doc_run[1:] = run_doc[1:] != run_doc[:-1]
+    doc_run_start = np.maximum.accumulate(np.where(new_doc_run, np.arange(R), 0))
+    edge_seq = np.arange(R) - doc_run_start
+
+    return pd.DataFrame(
+        {
+            "doc_id": doc_uniques[run_doc],
+            "edge_seq": edge_seq.astype("int32"),
+            "edge_id": run_edge,
+            "elapsed_time": run_last_time - doc_first_time[run_doc],
+            "n_pts": run_npts.astype("int32"),
+            "n_points": n_points_per_doc[run_doc].astype("int32"),
+            "n_unmatched": n_unmatched_per_doc[run_doc].astype("int32"),
+        }
+    )
+
+
+def _viterbi_partition(batches):
+    """mapInPandas kernel: rows arrive repartitioned by doc_id and sorted by
+    (doc_id, offset, dist_m, edge_id); the batch-vectorized Viterbi runs
+    over each ~10k-row Arrow batch (one call per batch, not per doc).
+
+    A doc can straddle two Arrow batches of the same partition, so the last
+    (possibly incomplete) doc of each batch is buffered into the next.
+    """
+    buf = None
+    for pdf in batches:
+        if buf is not None and len(buf):
+            pdf = pd.concat([buf, pdf], ignore_index=True)
+        if not len(pdf):
+            continue
+        last_doc = pdf["doc_id"].iloc[-1]
+        mask = (pdf["doc_id"] == last_doc).to_numpy()
+        buf = pdf.iloc[mask.nonzero()[0]]
+        main = pdf.iloc[(~mask).nonzero()[0]]
+        if len(main):
+            out = viterbi_batch(main)
+            if len(out):
+                yield out
+    if buf is not None and len(buf):
+        out = viterbi_batch(buf)
+        if len(out):
+            yield out
+
+
+def match_traces(
+    points: DataFrame, candidates: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
     """points + candidate rows -> traversal rows (MATCH_SCHEMA).
 
     Points with no candidate row are re-attached (left join) so the matcher
     sees them as 'unmatched' — they count toward the M1 ratio and break the
     Viterbi chain, exactly like Valhalla's unmatched matched_points.
+
+    Physical shape: one shuffle (repartition by doc_id, co-locating each
+    doc), sortWithinPartitions (no extra shuffle), then a single
+    mapInPandas pass. Doc sizes are bounded (~10^2 points), so hash
+    partitioning by doc_id is skew-safe even with hot urban cells.
     """
     base = points.select("doc_id", "offset", "time", "lon", "lat")
     cand = candidates.select(
         "doc_id", "offset", "edge_id", "src", "dst", "dist_m", "t_param", "len_m"
     )
     full = base.join(cand, ["doc_id", "offset"], "left")
-    # NB: applyInPandas treats a 2-arg function as (key, pdf) — keep 1-arg
-    return full.groupBy("doc_id").applyInPandas(
-        lambda pdf: viterbi_one_doc(pdf), schema=MATCH_SCHEMA
+    spark = points.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    arranged = full.repartition(p, "doc_id").sortWithinPartitions(
+        "doc_id", "offset", "dist_m", "edge_id"
     )
+    return arranged.mapInPandas(_viterbi_partition, schema=MATCH_SCHEMA)

@@ -112,6 +112,49 @@ def accepted_doc_ids(points: DataFrame, min_points: int | None = None) -> DataFr
 
 
 def filter_traces(points: DataFrame, min_points: int | None = None) -> DataFrame:
-    """points -> points of accepted docs only (left-semi join, broadcastable)."""
-    keep = accepted_doc_ids(points, min_points)
-    return points.join(keep, "doc_id", "left_semi")
+    """points -> points of accepted docs only.
+
+    Physical shape: ONE hash shuffle on doc_id serves both the ordered lag
+    window (pair deltas) and the whole-partition aggregate windows (per-doc
+    stats), then a plain filter — no second decode branch and no semi-join
+    (a naive `join(accepted_ids, left_semi)` plan scans+decodes the input
+    twice and adds a sort-merge join; this form halved the stage time at
+    sf1).
+    """
+    w_ord = Window.partitionBy("doc_id").orderBy("offset")
+    w_all = Window.partitionBy("doc_id")
+    w_full = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    lag_time = F.lag("time").over(w_ord)
+    lag_lon = F.lag("lon").over(w_ord)
+    lag_lat = F.lag("lat").over(w_ord)
+    dt = F.col("time") - lag_time
+    d = haversine_m(lag_lon, lag_lat, F.col("lon"), F.col("lat"))
+    v = d / 1000.0 / dt * 3600.0
+    nonzero = dt.isNotNull() & (dt != 0)
+
+    pair_d = F.when(nonzero, d)
+    pair_poor = F.when(dt > MAXIMUM_TIME_BETWEEN_ADJACENT_POINTS, 1).otherwise(0) + F.when(
+        nonzero & (v > MAXIMUM_SPEED_BETWEEN_ADJACENT_POINTS), 1
+    ).otherwise(0)
+    pair_neg = F.when(dt < 0, 1).otherwise(0)
+    pair_v = F.when(nonzero, v)
+
+    df = points.withColumn("_ttime", F.last("time").over(w_full) - F.first("time").over(w_full))
+    df = (
+        df.withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .withColumn("_dist", F.coalesce(F.sum(pair_d).over(w_all), F.lit(0.0)))
+        .withColumn("_poor", F.coalesce(F.sum(pair_poor).over(w_all), F.lit(0)))
+        .withColumn("_neg", F.max(pair_neg).over(w_all))
+        .withColumn("_vavg", F.avg(pair_v).over(w_all))
+    )
+    cond = (
+        (F.col("_ttime") >= MINIMUM_TOTAL_TIME)
+        & (F.col("_neg") == 0)
+        & (F.col("_poor") / F.col("_n") <= MAXIMUM_POOR_MEASUREMENTS_PERCENT)
+        & (F.col("_dist") >= MINIMUM_TOTAL_DISTANCE)
+        & (F.col("_vavg").isNull() | (F.col("_vavg") >= MINIMUM_MEAN_SPEED))
+    )
+    if min_points is not None:
+        cond = cond & (F.col("_n") >= min_points)
+    return df.where(cond).drop("_ttime", "_n", "_dist", "_poor", "_neg", "_vavg")

@@ -21,7 +21,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
-STAGES = ["points", "filtered_points", "traversals", "measurements"]
+STAGES = ["filtered_points", "traversals", "measurements"]
 
 
 def _ckpt(work_dir: str, stage: str) -> str:
@@ -80,6 +80,25 @@ def _write_stage(
     os.rename(tmp, _lineage_path(work_dir, stage))  # atomic commit, like S9
 
 
+def write_partitioned_measurements(measurements: DataFrame, path: str) -> None:
+    """S11 analog: hive-partitioned measurements sink by (country, region)
+    (reference writes one pickle per country/region dir with uuid suffixes,
+    /root/reference/conflation/map_matching/valhalla.py:214-243 — Spark's
+    commit protocol makes the uuid collision dance unnecessary). Empty
+    regions get an explicit partition value so they round-trip."""
+    from pyspark.sql import functions as F
+
+    (
+        measurements.withColumn(
+            "region_part",
+            F.when(F.col("region") == "", "_EMPTY_").otherwise(F.col("region")),
+        )
+        .write.mode("overwrite")
+        .partitionBy("country", "region_part")
+        .parquet(path)
+    )
+
+
 def read_lineage(work_dir: str, stage: str) -> dict:
     with open(_lineage_path(work_dir, stage)) as f:
         return json.load(f)
@@ -92,10 +111,15 @@ def run_pipeline(
     zoom: int = 16,
     resume: bool = True,
     stop_after: str | None = None,
+    checkpoint_points: bool = False,
 ) -> dict:
     """Run (or resume) the full pipeline. Returns stage row counts.
 
     ``stop_after`` lets the kill/resume test abandon a run mid-pipeline.
+    ``checkpoint_points``: the raw decoded points are cheap to recompute
+    (a narrow scan+from_json), so by default decode+filter fold into ONE
+    checkpointed stage — writing the largest intermediate twice costs more
+    than re-decoding on resume. Set True for finer resume granularity.
     """
     from conflation_spark.functions.config_build import rollup_to_configs, write_config
     from conflation_spark.operators.candidates import candidate_edges
@@ -119,11 +143,18 @@ def run_pipeline(
         return spark.read.parquet(_ckpt(work_dir, name))
 
     docs = load_documents(spark, input_dir)
-    points = stage("points", lambda: decode_points(docs), [f"{input_dir}/documents.parquet"])
-    if stop_after == "points":
-        return counts
+    if checkpoint_points:
+        points = stage(
+            "points", lambda: decode_points(docs), [f"{input_dir}/documents.parquet"]
+        )
+        points_input = _ckpt(work_dir, "points")
+        if stop_after == "points":
+            return counts
+    else:
+        points = decode_points(docs)
+        points_input = f"{input_dir}/documents.parquet"
 
-    filtered = stage("filtered_points", lambda: filter_traces(points), [_ckpt(work_dir, "points")])
+    filtered = stage("filtered_points", lambda: filter_traces(points), [points_input])
     if stop_after == "filtered_points":
         return counts
 

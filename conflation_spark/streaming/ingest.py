@@ -1,0 +1,139 @@
+"""Structured Streaming ingestion.
+
+Two streaming operators:
+
+1. ``streaming_trace_accept`` — the trace-quality filter (reference F1-F9)
+   reformulated STATELESS for streams: a document arrives whole (one row =
+   one doc with its spans array), so every per-doc aggregate becomes an
+   array expression (aggregate/transform/filter over the sorted gps spans)
+   instead of an explode + window + groupBy. Zero shuffle, zero state —
+   it runs identically under readStream and batch (tested for equality
+   against the batch operator).
+
+2. ``windowed_event_counts`` — watermarked tumbling-window aggregation over
+   an event stream (the engine's generic streaming-rollup primitive).
+
+Both are driven by file sources + ``Trigger.AvailableNow`` in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from conflation_spark.operators.trace_filter import (
+    MAXIMUM_POOR_MEASUREMENTS_PERCENT,
+    MAXIMUM_SPEED_BETWEEN_ADJACENT_POINTS,
+    MAXIMUM_TIME_BETWEEN_ADJACENT_POINTS,
+    MINIMUM_MEAN_SPEED,
+    MINIMUM_TOTAL_DISTANCE,
+    MINIMUM_TOTAL_TIME,
+)
+from conflation_spark.sources.spans import GPS_JSON_SCHEMA
+
+
+def _hav_m(lon1, lat1, lon2, lat2) -> Column:
+    a = F.pow(F.sin((F.radians(lat2) - F.radians(lat1)) / 2), 2) + F.cos(
+        F.radians(lat1)
+    ) * F.cos(F.radians(lat2)) * F.pow(F.sin((F.radians(lon2) - F.radians(lon1)) / 2), 2)
+    return F.asin(F.sqrt(a)) * F.lit(2.0 * 6378160.0)
+
+
+def doc_accept_stateless(documents: DataFrame) -> DataFrame:
+    """documents -> (doc_id, n_points, accept) without explode/shuffle.
+
+    Same accept semantics as operators.trace_filter (see its docstring for
+    the reference citations); pair deltas come from zipping the gps-point
+    array with itself shifted by one.
+    """
+    pts = F.transform(
+        F.array_sort(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "gps"),
+            lambda a, b: F.when(a["offset"] < b["offset"], -1)
+            .when(a["offset"] > b["offset"], 1)
+            .otherwise(0),
+        ),
+        lambda s: F.from_json(s["text"], GPS_JSON_SCHEMA),
+    )
+    n = F.size(pts)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(F.slice(pts, 1, n - 1), F.slice(pts, 2, n - 1), lambda a, b:
+            F.struct(
+                (b["time"] - a["time"]).alias("dt"),
+                _hav_m(a["lon"], a["lat"], b["lon"], b["lat"]).alias("d"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<dt:double,d:double>>"))
+    nz = F.filter(pairs, lambda p: p["dt"] != 0)
+    total_time = F.when(n >= 1, pts[n - 1]["time"] - pts[0]["time"]).otherwise(F.lit(0.0))
+    total_dist = F.aggregate(nz, F.lit(0.0), lambda acc, p: acc + p["d"])
+    has_neg = F.exists(pairs, lambda p: p["dt"] < 0)
+    v = lambda p: p["d"] / 1000.0 / p["dt"] * 3600.0  # noqa: E731
+    num_poor = F.aggregate(
+        pairs,
+        F.lit(0),
+        lambda acc, p: acc
+        + F.when(p["dt"] > MAXIMUM_TIME_BETWEEN_ADJACENT_POINTS, 1).otherwise(0)
+        + F.when((p["dt"] != 0) & (v(p) > MAXIMUM_SPEED_BETWEEN_ADJACENT_POINTS), 1).otherwise(0),
+    )
+    n_speeds = F.size(nz)
+    mean_speed = F.when(
+        n_speeds > 0, F.aggregate(nz, F.lit(0.0), lambda acc, p: acc + v(p)) / n_speeds
+    )
+    accept = (
+        (n > 0)
+        & (total_time >= MINIMUM_TOTAL_TIME)
+        & ~has_neg
+        & (num_poor / n <= MAXIMUM_POOR_MEASUREMENTS_PERCENT)
+        & (total_dist >= MINIMUM_TOTAL_DISTANCE)
+        & (mean_speed.isNull() | (mean_speed >= MINIMUM_MEAN_SPEED))
+    )
+    return documents.select(
+        "doc_id",
+        n.cast("long").alias("n_points"),
+        accept.alias("accept"),
+    )
+
+
+def streaming_trace_accept(spark, input_dir: str) -> DataFrame:
+    """readStream over a documents directory -> per-doc accept decisions."""
+    schema = (
+        "doc_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return doc_accept_stateless(stream)
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts + value sums per event_type.
+
+    Late rows beyond the watermark are dropped; state is bounded by
+    (watermark / window) x |event_type| — safe for unbounded streams.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_events(spark, input_dir: str, window: str = "1 minute") -> DataFrame:
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return windowed_event_counts(stream, window)

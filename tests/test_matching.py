@@ -142,3 +142,40 @@ def test_derivation_abort_and_zero_dt_semantics(spark, fixture_dir):
         round(lens[i] / 5.0 * 3600.0, 6) for i in (ids[1], ids[3])
     )
     assert kphs == want
+
+
+def test_viterbi_batch_equals_per_doc(spark, fixture_dir):
+    """The batch-vectorized kernel must produce exactly the per-doc
+    reference implementation's traversals."""
+    import pandas as pd
+
+    from conflation_spark.operators.matching import viterbi_batch, viterbi_one_doc
+
+    docs = load_documents(spark, fixture_dir)
+    pts = filter_traces(decode_points(docs))
+    edges = spark.read.parquet(f"{fixture_dir}/edges.parquet")
+    cand = candidate_edges(pts, edges)
+    base = pts.select("doc_id", "offset", "time", "lon", "lat")
+    full = base.join(
+        cand.select("doc_id", "offset", "edge_id", "src", "dst", "dist_m", "t_param", "len_m"),
+        ["doc_id", "offset"],
+        "left",
+    )
+    pdf = full.toPandas().sort_values(
+        ["doc_id", "offset", "dist_m", "edge_id"], kind="mergesort"
+    ).reset_index(drop=True)
+
+    got = viterbi_batch(pdf)
+    want = pd.concat(
+        [viterbi_one_doc(g) for _, g in pdf.groupby("doc_id", sort=True)],
+        ignore_index=True,
+    )
+    key = ["doc_id", "edge_seq"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ["doc_id", "edge_seq", "edge_id", "n_pts", "n_points", "n_unmatched"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    import numpy as np
+
+    assert np.allclose(got["elapsed_time"], want["elapsed_time"], atol=1e-9)

@@ -43,14 +43,13 @@ def _oracle_config(spark, fixture_dir, traversals_rows, edges_rows):
 def test_full_pipeline_and_resume(spark, fixture_dir, tmp_path):
     work = str(tmp_path / "run1")
     counts = run_pipeline(spark, fixture_dir, work)
-    assert counts["points"] > 0
-    assert counts["filtered_points"] < counts["points"]
+    assert counts["filtered_points"] > 0
     assert counts["measurements"] > 0
     cfg_path = os.path.join(work, "results", "config.json")
     assert os.path.exists(cfg_path)
 
     # lineage manifests exist with per-partition rows
-    for st in ["points", "filtered_points", "traversals", "measurements"]:
+    for st in ["filtered_points", "traversals", "measurements"]:
         man = read_lineage(work, st)
         assert man["rows"] == counts[st]
         assert man["partitions"] >= 1
@@ -67,7 +66,7 @@ def test_full_pipeline_and_resume(spark, fixture_dir, tmp_path):
     # resume: nothing recomputed (checkpoint mtimes unchanged)
     mtimes = {
         st: os.path.getmtime(f"{work}/checkpoints/{st}/_SUCCESS")
-        for st in ["points", "filtered_points", "traversals", "measurements"]
+        for st in ["filtered_points", "traversals", "measurements"]
     }
     counts2 = run_pipeline(spark, fixture_dir, work)
     assert counts2 == counts
@@ -79,8 +78,8 @@ def test_kill_and_resume_midway(spark, fixture_dir, tmp_path):
     work = str(tmp_path / "run2")
     partial = run_pipeline(spark, fixture_dir, work, stop_after="filtered_points")
     assert "traversals" not in partial
-    mt_points = os.path.getmtime(f"{work}/checkpoints/points/_SUCCESS")
+    mt_fp = os.path.getmtime(f"{work}/checkpoints/filtered_points/_SUCCESS")
     full = run_pipeline(spark, fixture_dir, work)
-    assert full["points"] == partial["points"]
-    assert os.path.getmtime(f"{work}/checkpoints/points/_SUCCESS") == mt_points
+    assert full["filtered_points"] == partial["filtered_points"]
+    assert os.path.getmtime(f"{work}/checkpoints/filtered_points/_SUCCESS") == mt_fp
     assert os.path.exists(os.path.join(work, "results", "config.json"))

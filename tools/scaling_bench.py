@@ -2,9 +2,18 @@
 
 Runs the full pipeline at local[N] and local[4N] in separate JVMs on the
 SAME fixture and reports throughput at both + scaling efficiency
-(T_{4N} / T_N) / 4. Results go into BASELINE.md / BENCH notes.
+(T_N / T_4N) / 4. Levels run strictly sequentially; each level is repeated
+``repeats`` times and the MINIMUM wall time is used (single-host runs are
+noisy: page cache, GC, background flushes).
 
-Usage: python tools/scaling_bench.py [sf_name] [N]
+IMPORTANT caveat of the local-mode proxy: ``local[N]`` uses ~2-3N host
+threads (N JVM task threads + N Python/Arrow workers + GC/shuffle I/O), so
+on this 32-core host ``local[8]`` already consumes ~20 cores and
+``local[32]`` cannot get 4x its resources. The honest proxy pairs are
+N=2 vs 8 (both levels have true headroom); N=8 vs 32 is reported as the
+saturated upper bound.
+
+Usage: python tools/scaling_bench.py [sf_name] [N] [repeats]
 """
 
 from __future__ import annotations
@@ -20,7 +29,7 @@ RUNNER = r"""
 import json, sys
 sys.path.insert(0, {repo!r})
 from bench import run_bench
-r = run_bench({sf_dir!r}, {cpus})
+r = run_bench({sf_dir!r}, {cpus}, pipeline_only=True)
 print("RESULT_JSON:" + json.dumps(r))
 """
 
@@ -33,15 +42,23 @@ def run_at(sf_dir: str, cpus: int) -> dict:
     for line in out.stdout.splitlines():
         if line.startswith("RESULT_JSON:"):
             return json.loads(line[len("RESULT_JSON:"):])
-    raise RuntimeError(f"bench at local[{cpus}] failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    raise RuntimeError(
+        f"bench at local[{cpus}] failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
+def best_of(sf_dir: str, cpus: int, repeats: int) -> dict:
+    runs = [run_at(sf_dir, cpus) for _ in range(repeats)]
+    return min(runs, key=lambda r: r["queries"]["pipeline_e2e"])
 
 
 def main():
     sf_name = sys.argv[1] if len(sys.argv) > 1 else "sf0.1"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     sf_dir = f"/root/testdata/{sf_name}"
-    lo = run_at(sf_dir, n)
-    hi = run_at(sf_dir, 4 * n)
+    lo = best_of(sf_dir, n, repeats)
+    hi = best_of(sf_dir, 4 * n, repeats)
     tl = lo["queries"]["pipeline_e2e"]
     th = hi["queries"]["pipeline_e2e"]
     eff = (tl / th) / 4.0
@@ -49,8 +66,11 @@ def main():
         "sf": sf_name,
         "n_cpus": n,
         "4n_cpus": 4 * n,
+        "repeats": repeats,
         "pipeline_s_at_n": tl,
         "pipeline_s_at_4n": th,
+        "stages_at_n": {k: v for k, v in lo["queries"].items() if k.startswith("stage_")},
+        "stages_at_4n": {k: v for k, v in hi["queries"].items() if k.startswith("stage_")},
         "docs_per_sec_at_n": lo["throughput"]["docs_per_sec"],
         "docs_per_sec_at_4n": hi["throughput"]["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
