@@ -151,7 +151,9 @@ def run_pipeline(
         if stop_after == "points":
             return counts
     else:
-        points = decode_points(docs)
+        # only the matcher consumes this checkpoint: drop media_ref/radius
+        # before the filter's doc_id shuffle (~40% fewer shuffle bytes)
+        points = decode_points(docs).select("doc_id", "offset", "time", "lon", "lat")
         points_input = f"{input_dir}/documents.parquet"
 
     filtered = stage("filtered_points", lambda: filter_traces(points), [points_input])

@@ -12,6 +12,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    d = os.environ.get("SPARK_LOCAL_DIRS")
+    if d:
+        return d
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        return "/tmp"
+
+
 def get_spark(
     app_name: str = "conflation_spark",
     master: str | None = None,
@@ -42,6 +54,9 @@ def get_spark(
         # with TB-scale multi-file tables the 128m default is fine)
         .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        # single-host proxy for a cluster's node-local NVMe shuffle dirs:
+        # route shuffle/spill through tmpfs so local disk isn't the bottleneck
+        .config("spark.local.dir", _local_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
