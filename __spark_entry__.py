@@ -320,6 +320,79 @@ def _q_cell_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id").distinct()
 
 
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    j = (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.lit("1995-03-15"))
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-join rollup: revenue per region/nation."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    j = (
+        r.join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) per user via lag window —
+    the same window shape as the trace filter, on the events stream table."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional epoch seconds (microsecond precision, matches DuckDB epoch();
+    # ts is TIMESTAMP_NTZ -> via TIMESTAMP under the UTC session tz)
+    te = F.col("ts").cast("timestamp").cast("double")
+    gap = te - F.lag(te).over(w)
+    s = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    s = s.withColumn("sess_idx", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    return s.groupBy("user_id", "sess_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round((F.max(te) - F.min(te)) * 1000).cast("long").alias("sess_ms"),
+    ).select(
+        "user_id",
+        F.col("sess_idx").cast("long").alias("sess_idx"),
+        "n_events",
+        "sum_value",
+        "sess_ms",
+    )
+
+
+def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type (batch twin of the streaming
+    operator; the streaming equality is tested in tests/test_streaming.py)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("window_epoch"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # spatial pipeline (SURVEY.md §2)
@@ -343,8 +416,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
-        # general SQL
+        # general SQL / windows / joins on the driver tables
         "tpch_q1": _q_tpch_q1,
+        "tpch_q3_top10": _q_tpch_q3,
+        "region_revenue": _q_region_revenue,
+        "event_sessions": _q_event_sessions,
+        "event_windows": _q_event_windows,
     }
 
 
@@ -600,6 +677,60 @@ lvl AS (
 SELECT level, country, region, density, road_class, type,
        CAST(round(med * 100) AS BIGINT) AS median_kph_c
 FROM lvl
+""",
+        "tpch_q3_top10": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+        "region_revenue": """
+SELECT r_name, n_name,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY r_name, n_name
+""",
+        "event_sessions": """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         epoch(ts) - epoch(lag(ts) OVER w) AS gap
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM g
+),
+x AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM s
+)
+SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+       count(*) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+       CAST(round((epoch(max(ts)) - epoch(min(ts))) * 1000) AS BIGINT) AS sess_ms
+FROM x GROUP BY user_id, sess_idx
+""",
+        "event_windows": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
 """,
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,

@@ -41,6 +41,7 @@ def candidate_edges(
     radius_m: float = DEFAULT_RADIUS_M,
     broadcast_edges: bool = True,
     rank: bool = False,
+    hot_cell_threshold: int = 100_000,
 ) -> DataFrame:
     """points(doc_id, offset, time, lon, lat) x edges(edge_id, src, dst,
     lon1, lat1, lon2, lat2, ...) -> up to k candidates per point:
@@ -72,8 +73,14 @@ def candidate_edges(
         .withColumn("len2", F.col("ex") * F.col("ex") + F.col("ey") * F.col("ey"))
         .withColumn("len_m", F.sqrt("len2"))
     )
-    right = F.broadcast(ec) if broadcast_edges else ec
-    j = pc.join(right, "cell")
+    if broadcast_edges:
+        j = pc.join(F.broadcast(ec), "cell")
+    else:
+        # continental-scale path: shuffled cell join with hot-cell salting
+        # (urban-core skew) on top of AQE skew-join
+        from conflation_spark.operators.skew import salted_cell_join
+
+        j = salted_cell_join(pc, ec, n_salts=8, hot_threshold=hot_cell_threshold)
 
     px = (F.col("lon") - F.col("lon1")) * F.col("coslat") * DEG_LAT_M
     py = (F.col("lat") - F.col("lat1")) * F.lit(DEG_LAT_M)

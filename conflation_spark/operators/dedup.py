@@ -64,31 +64,40 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 64, seed: int = 42) -> Column:
-    """n_hashes-wide minhash signature as array<long>.
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, mh0..mh{n-1}): minhash signature columns.
 
-    h_i(s) = (a_i * xxhash64(s) + b_i) mod 2^61-1, a_i/b_i fixed by seed —
-    computed with transform/array_min, entirely JVM-side.
+    h_i(s) = (a_i * xxhash64(s) + b_i) mod 2^31-1, a_i/b_i fixed by seed.
+    Shape: explode shingles ONCE, then n_hashes codegen'd min-aggregates
+    over the shared base hash. (Building the signature as one array
+    expression is a trap: every downstream reference — e.g. the 16 band
+    hashes — inlines and RE-EVALUATES the whole array; with 64 hashes x
+    ~60 shingles x 16 bands that was ~60x redundant work.)
     """
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE, size=n_hashes, dtype=np.int64)
     b = rng.integers(0, MERSENNE, size=n_hashes, dtype=np.int64)
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    base,
-                    lambda h: F.pmod(
-                        F.pmod(F.lit(int(a[i])) * h, F.lit(MERSENNE)) + F.lit(int(b[i])),
-                        F.lit(MERSENNE),
-                    ),
-                )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("g"),
+    ).withColumn("h", F.pmod(F.xxhash64("g"), F.lit(MERSENNE)))
+    aggs = [
+        F.min(
+            F.pmod(
+                F.pmod(F.lit(int(a[i])) * F.col("h"), F.lit(MERSENNE)) + F.lit(int(b[i])),
+                F.lit(MERSENNE),
             )
-            for i in range(n_hashes)
-        ]
-    )
-    return sig
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -106,22 +115,22 @@ def minhash_lsh_pairs(
     bucket-size cap can be layered on top if needed.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle_k), n_hashes)
-    s = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
-    banded = s.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band_idx"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)),
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("b"),
-    ).select("id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"mh{bi * rows_per_band + j}") for j in range(rows_per_band)],
+                )
+            ).alias("band_hash"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -245,30 +254,44 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Exact cosine near-dup pairs (all-pairs; oracle-scale inputs).
+    """Exact cosine near-dup pairs via broadcast-matrix block multiply.
 
-    Dot/norms via zip_with + aggregate — JVM-side. The scale path buckets
-    with random-hyperplane LSH first (operators.similarity.hyperplane_lsh).
+    The naive formulation (all-pairs theta-join + zip_with/aggregate dot
+    products) is a trap: Catalyst runs it as a broadcast nested-loop join
+    whose parallelism equals the LEFT side's scan splits (often 1 task),
+    and higher-order-function lambdas are interpreted, not codegen'd —
+    O(N^2 * dim) interpreted ops on one core. Instead: the (small) full
+    matrix is closure-broadcast to workers and each mapInPandas batch does
+    one BLAS matmul against it — embarrassingly parallel, vectorized.
+
+    At 10^12-vector scale neither works: LSH-bucket first
+    (similarity.lsh_topk's hyperplane signatures) and verify within
+    buckets; this operator is the exact baseline those buckets feed.
     """
-    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        norm.alias("nrm"),
+    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).collect()
+    ids = np.array([r["id"] for r in rows])
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = np.array([rows[int(i)]["vec"] for i in order], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    matn = mat / norms[:, None]
+    id_to_pos = {i: p for p, i in enumerate(ids)}
+
+    def op(batches):
+        for pdf in batches:
+            pos = np.array([id_to_pos[i] for i in pdf["id"]], dtype=np.int64)
+            sims = matn[pos] @ matn.T  # (batch, N) BLAS
+            out_a, out_b, out_c = [], [], []
+            for k, p in enumerate(pos):
+                hits = np.flatnonzero(sims[k] >= threshold)
+                for h in hits:
+                    if ids[p] < ids[h]:
+                        out_a.append(ids[p])
+                        out_b.append(ids[h])
+                        out_c.append(int(round(sims[k, h] * 10000)))
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine_c": out_c})
+
+    v = df.select(F.col(id_col).alias("id")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
-    a, b = v.alias("a"), v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn("cosine", dot / (F.col("a.nrm") * F.col("b.nrm")))
-        .where(F.col("cosine") >= threshold)
-    )
-    return pairs.select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.round(F.col("cosine") * 10000).cast("long").alias("cosine_c"),
-    )
+    return v.mapInPandas(op, schema="id_a string, id_b string, cosine_c long")

@@ -109,3 +109,19 @@ def test_prune_to_cells(spark, fixture_dir):
     pruned = tiling.prune_to_cells(cov, keep)
     kept_cells = {r["cell"] for r in keep.collect()}
     assert {r["cell"] for r in pruned.collect()} <= kept_cells
+
+
+def test_salted_join_equals_broadcast(spark, fixture_dir):
+    """The shuffled+salted candidate path must produce exactly the broadcast
+    path's candidate set (skew handling is a physical choice, not semantic)."""
+    from conflation_spark.operators.candidates import candidate_edges
+    from conflation_spark.sources.spans import decode_points, load_documents
+
+    pts = decode_points(load_documents(spark, fixture_dir)).limit(20000)
+    edges = spark.read.parquet(f"{fixture_dir}/edges.parquet")
+    a = candidate_edges(pts, edges, broadcast_edges=True)
+    b = candidate_edges(pts, edges, broadcast_edges=False, hot_cell_threshold=50)
+    key = ["doc_id", "offset", "edge_id"]
+    sa = {tuple(r[k] for k in key) for r in a.select(*key).collect()}
+    sb = {tuple(r[k] for k in key) for r in b.select(*key).collect()}
+    assert sa == sb and len(sa) > 0
