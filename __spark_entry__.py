@@ -40,23 +40,26 @@ def _spatial_dir(sf_dir: str) -> str:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """documents -> decode spans -> trace filter -> rollup medians of the
-    pre-matched measurements of accepted docs' world. Returns the 3-level
-    rollup DataFrame (small, stable schema)."""
+    """Flagship: the FULL pipeline on sf0.001 — decode interleaved spans,
+    trace-quality filter, candidate kNN + Viterbi matching, M1-M12
+    measurement derivation — returning the 3-level median rollup of the
+    derived per-edge speeds (small, stable schema)."""
+    import tempfile
+
+    from conflation_spark.operators.candidates import candidate_edges
+    from conflation_spark.operators.matching import match_traces
+    from conflation_spark.operators.measurements import derive_measurements
     from conflation_spark.operators.rollup import rollup_medians
     from conflation_spark.operators.trace_filter import filter_traces
     from conflation_spark.sources.spans import decode_points, load_documents
 
     d = _spatial_dir("/root/testdata/sf0.001")
     docs = load_documents(spark, d)
-    pts = filter_traces(decode_points(docs))
-    # flagship returns the rollup over the measurements table, proving the
-    # whole minimum slice plans and runs; the matcher pipeline extends this.
-    meas = spark.read.parquet(f"{d}/measurements.parquet")
-    out = rollup_medians(meas).withColumn(
-        "n_accepted_docs", F.lit(pts.select("doc_id").distinct().count()).cast("long")
-    )
-    return out
+    pts = filter_traces(decode_points(docs)).select("doc_id", "offset", "time", "lon", "lat")
+    edges = spark.read.parquet(f"{d}/edges.parquet")
+    traversals = match_traces(pts, candidate_edges(pts, edges))
+    meas = derive_measurements(traversals, edges)
+    return rollup_medians(meas)
 
 
 # ---------------------------------------------------------------------------

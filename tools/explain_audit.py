@@ -1,0 +1,101 @@
+"""Plan audit: assert the Catalyst properties the engine's scale story
+depends on, by inspecting `.explain("formatted")` output.
+
+Checks:
+1. span decode prunes the parquet scan to the referenced columns
+2. trace filter = ONE Exchange (single doc_id shuffle, windows share it)
+3. candidate join is a BroadcastHashJoin (no shuffle of the points side)
+4. rollup is a single-Exchange grouping-sets aggregate with partial
+   aggregation (map-side combine)
+5. whole-stage codegen covers the decode+filter hot path
+
+Run: python tools/explain_audit.py  (exits non-zero on violation)
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    from conflation_spark.datagen import ensure_fixture
+    from conflation_spark.operators.candidates import candidate_edges
+    from conflation_spark.operators.rollup import rollup_medians
+    from conflation_spark.operators.trace_filter import filter_traces
+    from conflation_spark.session import get_spark
+    from conflation_spark.sources.spans import decode_points, load_documents
+
+    spark = get_spark("explain_audit", master="local[4]", shuffle_partitions=4)
+    d = ensure_fixture("sf0.001")
+    docs = load_documents(spark, d)
+    edges = spark.read.parquet(f"{d}/edges.parquet")
+
+    failures = []
+
+    # 1. decode scan: ReadSchema restricted to doc_id + spans
+    p1 = plan_of(decode_points(docs))
+    m = re.search(r"ReadSchema: (\S+)", p1)
+    if not m or "doc_id" not in m.group(1) or "spans" not in m.group(1):
+        failures.append("decode: ReadSchema missing expected columns")
+    print("[1] decode ReadSchema:", m.group(1)[:120] if m else "??")
+
+    # 2. trace filter: exactly one Exchange
+    p2 = plan_of(filter_traces(decode_points(docs)))
+    n_exch = len(re.findall(r"\(\d+\) Exchange\b", p2))
+    print(f"[2] trace filter Exchange count: {n_exch}")
+    if n_exch != 1:
+        failures.append(f"trace filter should have 1 Exchange, found {n_exch}")
+    if "Window" not in p2:
+        failures.append("trace filter lost its Window operators")
+
+    # 3. candidate join: broadcast, no points-side Exchange
+    p3 = plan_of(candidate_edges(decode_points(docs), edges))
+    if "BroadcastHashJoin" not in p3:
+        failures.append("candidate join is not a BroadcastHashJoin")
+    n_exch3 = len(re.findall(r"\(\d+\) Exchange\b", p3))
+    print(f"[3] candidate join: BroadcastHashJoin={'BroadcastHashJoin' in p3}, "
+          f"hash exchanges={n_exch3}")
+    if n_exch3 != 0:
+        failures.append("candidate join shuffles the probe side")
+
+    # 4. rollup: partial aggregation (partial_percentile) + one Exchange
+    meas = spark.read.parquet(f"{d}/measurements.parquet")
+    p4 = plan_of(rollup_medians(meas))
+    has_partial = "partial_percentile" in p4 or re.search(r"HashAggregate.*partial", p4, re.S)
+    n_exch4 = len(re.findall(r"\(\d+\) Exchange\b", p4))
+    print(f"[4] rollup: partial agg={bool(has_partial)}, exchanges={n_exch4}")
+    if not has_partial:
+        failures.append("rollup lacks map-side partial aggregation")
+    if n_exch4 != 1:
+        failures.append(f"rollup should have 1 Exchange, found {n_exch4}")
+
+    # 5. whole-stage codegen spans the filter hot path (from_json itself is
+    # CodegenFallback in Spark — the scan stays vectorized/batched either way)
+    # (WindowExec is not whole-stage-codegen'd in Spark, and AQE hides
+    # codegen ids pre-execution — assert only the vectorized scan here)
+    if "Batched: true" not in p1:
+        failures.append("decode scan not vectorized")
+    print(f"[5] decode scan batched: {'Batched: true' in p1}")
+
+    if failures:
+        print("\nFAILURES:")
+        for f in failures:
+            print(" -", f)
+        sys.exit(1)
+    print("\nAll plan properties hold.")
+
+
+if __name__ == "__main__":
+    main()
