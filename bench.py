@@ -73,6 +73,60 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = 
                 fn(spark, sf_dir).count()
                 queries[name] = round(time.time() - t0, 3)
 
+        # correctness metrics vs ground truth (BASELINE.json: per-edge
+        # speed-bucket exact-match rate): re-derive measurements keeping
+        # edge ids, join the fixture's true per-edge speeds, bucket at
+        # 10 km/h, and compare; plus matched-edge-sequence identity.
+        from pyspark.sql import functions as F
+
+        from conflation_spark.operators.measurements import derive_measurements
+
+        edges = spark.read.parquet(f"{fixture}/edges.parquet")
+        trav = spark.read.parquet(os.path.join(work, "checkpoints", "traversals"))
+        truth = spark.read.parquet(f"{fixture}/truth.parquet")
+        # actual per-traversal speed from ground truth enter/exit times —
+        # the engine's derived kph is scored against what the synthetic
+        # vehicle actually drove on that edge (not the edge's nominal speed,
+        # which the generator perturbs per traversal)
+        actual = truth.join(edges.select("edge_id", "length_km"), "edge_id").select(
+            "doc_id",
+            F.col("seq").alias("edge_seq"),
+            "edge_id",
+            (
+                F.col("length_km")
+                / (F.col("exit_elapsed") - F.col("enter_elapsed"))
+                * 3600.0
+            ).alias("actual_kph"),
+        )
+        derived = derive_measurements(trav, edges, keep_edge_id=True, keep_seq=True)
+        m = derived.join(actual, ["doc_id", "edge_seq", "edge_id"])
+        bucket_stats = m.select(
+            F.avg(
+                (F.floor(F.col("kph") / 10) == F.floor(F.col("actual_kph") / 10)).cast("double")
+            ).alias("bucket_match"),
+            F.avg(
+                (F.abs(F.col("kph") - F.col("actual_kph")) / F.col("actual_kph") <= 0.10).cast(
+                    "double"
+                )
+            ).alias("within_10pct"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        seq_match = (
+            trav.join(
+                truth,
+                (trav.doc_id == truth.doc_id)
+                & (trav.edge_seq == truth.seq)
+                & (trav.edge_id == truth.edge_id),
+                "left_semi",
+            ).count()
+        )
+        accuracy = {
+            "speed_bucket_exact_match_rate": round(bucket_stats["bucket_match"], 4),
+            "speed_within_10pct_rate": round(bucket_stats["within_10pct"], 4),
+            "n_measurements_scored": bucket_stats["n"],
+            "traversal_seq_identity_rate": round(seq_match / max(counts["traversals"], 1), 4),
+        }
+
         n_docs = spark.read.parquet(f"{fixture}/documents.parquet").count()
         accepted_docs = (
             spark.read.parquet(os.path.join(work, "checkpoints", "filtered_points"))
@@ -88,6 +142,7 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = 
             "queries": queries,
             "sf": sf_name,
             "cpus": cpus,
+            "accuracy": accuracy,
             "throughput": {
                 "docs_per_sec": round(n_docs / total, 2),
                 "accepted_docs_per_sec": round(accepted_docs / total, 2),

@@ -151,9 +151,33 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
         chain.append(p_i)
     flush(chain, prev_scores, prev_back)
 
-    # collapse consecutive matched edges into traversals
+    # collapse consecutive matched edges into traversals. Edge-end elapsed
+    # time: node-crossing interpolation between the last point on edge k and
+    # the first point on edge k+1 (distance-weighted toward the shared node
+    # using the matched t_params — Valhalla-style). Fallbacks: samples'
+    # midpoint when no shared node; last sample at chain ends / gaps.
+    def boundary_time(c_last, p_last, c_next, p_next):
+        if p_next != p_last + 1:
+            return pts[p_last][0]
+        tau_a, tau_b = pts[p_last][0], pts[p_next][0]
+        ta, la = e_t[c_last], e_len[c_last]
+        tb, lb = e_t[c_next], e_len[c_next]
+        if e_dst[c_last] == e_src[c_next]:
+            rem, into = (1 - ta) * la, tb * lb
+        elif e_dst[c_last] == e_dst[c_next]:
+            rem, into = (1 - ta) * la, (1 - tb) * lb
+        elif e_src[c_last] == e_src[c_next]:
+            rem, into = ta * la, tb * lb
+        elif e_src[c_last] == e_dst[c_next]:
+            rem, into = ta * la, (1 - tb) * lb
+        else:
+            return (tau_a + tau_b) / 2.0
+        denom = rem + into
+        frac = rem / denom if denom > 0 else 0.5
+        return tau_a + (tau_b - tau_a) * frac
+
     out = []
-    cur_edge, cur_n, cur_last_t = None, 0, None
+    cur_edge, cur_n, cur_last_t, cur_last_pi, cur_last_c = None, 0, None, None, None
     seq = 0
     for p_i in range(n_points):
         c = matched[p_i]
@@ -162,11 +186,14 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
             continue
         if cur_edge is None or eid != cur_edge:
             if cur_edge is not None:
-                out.append((doc_id, seq, cur_edge, cur_last_t - t0, cur_n, n_points, n_unmatched))
+                end_t = boundary_time(cur_last_c, cur_last_pi, c, p_i)
+                out.append((doc_id, seq, cur_edge, end_t - t0, cur_n, n_points, n_unmatched))
                 seq += 1
             cur_edge, cur_n = eid, 0
         cur_n += 1
         cur_last_t = pts[p_i][0]
+        cur_last_pi = p_i
+        cur_last_c = c
     if cur_edge is not None:
         out.append((doc_id, seq, cur_edge, cur_last_t - t0, cur_n, n_points, n_unmatched))
 
@@ -343,6 +370,42 @@ def viterbi_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     # last point of each run = element before next run start (or last)
     run_end = np.append(run_start[1:], len(mp)) - 1
     run_last_time = p_time[mp[run_end]]
+    # node-crossing interpolation (Valhalla-style): between the last point
+    # on edge k (along-position from its matched t_param) and the first
+    # point on edge k+1, the boundary is crossed at the distance-weighted
+    # fraction toward the shared node. Falls back to the samples' midpoint
+    # (no shared node) or the last sample (non-adjacent points / doc break).
+    if R > 1:
+        np_first = mp[run_start[1:]]
+        tp_last = mp[run_end[:-1]]
+        contiguous = (np_first == tp_last + 1) & (p_doc[np_first] == p_doc[tp_last])
+        sa_ = matched_slot[tp_last]
+        sb_ = matched_slot[np_first]
+        ta = c_t[tp_last, sa_]
+        la = c_len[tp_last, sa_]
+        tb = c_t[np_first, sb_]
+        lb = c_len[np_first, sb_]
+        srca, dsta = c_src[tp_last, sa_], c_dst[tp_last, sa_]
+        srcb, dstb = c_src[np_first, sb_], c_dst[np_first, sb_]
+        # remaining distance on edge k to the shared node / into edge k+1
+        rem = np.select(
+            [dsta == srcb, dsta == dstb, srca == srcb, srca == dstb],
+            [(1 - ta) * la, (1 - ta) * la, ta * la, ta * la],
+            default=np.nan,
+        )
+        into = np.select(
+            [dsta == srcb, dsta == dstb, srca == srcb, srca == dstb],
+            [tb * lb, (1 - tb) * lb, tb * lb, (1 - tb) * lb],
+            default=np.nan,
+        )
+        tau_a, tau_b = p_time[tp_last], p_time[np_first]
+        denom = rem + into
+        frac = np.where(denom > 0, rem / np.where(denom > 0, denom, 1.0), 0.5)
+        boundary = np.where(
+            np.isnan(rem), (tau_a + tau_b) / 2.0, tau_a + (tau_b - tau_a) * frac
+        )
+        run_last_time = run_last_time.copy()
+        run_last_time[:-1] = np.where(contiguous, boundary, run_last_time[:-1])
     # edge_seq: position of run within its doc
     new_doc_run = np.empty(R, dtype=bool)
     new_doc_run[0] = True

@@ -55,9 +55,17 @@ def edge_type_col(use: F.Column, roundabout: F.Column, sign_cnt: F.Column) -> F.
     )
 
 
-def derive_measurements(traversals: DataFrame, edges: DataFrame) -> DataFrame:
+def derive_measurements(
+    traversals: DataFrame,
+    edges: DataFrame,
+    keep_edge_id: bool = False,
+    keep_seq: bool = False,
+) -> DataFrame:
     """traversals (matcher output) + edges attrs ->
     measurements(country, region, density, road_class, type, kph).
+
+    ``keep_edge_id`` adds (doc_id, edge_id) for accuracy evaluation against
+    ground truth; the production fact table omits them (reference D6 shape).
     """
     # M1 — unmatched-ratio doc filter
     ok = traversals.where(
@@ -98,7 +106,11 @@ def derive_measurements(traversals: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
     # M8-M12 — classification + admin columns
+    extra = ["doc_id", "edge_id"] if keep_edge_id else []
+    if keep_seq:
+        extra.append("edge_seq")
     return kept.select(
+        *extra,
         "country",
         "region",
         density_class_col(F.col("density")).alias("density"),

@@ -57,6 +57,9 @@ def get_spark(
         # single-host proxy for a cluster's node-local NVMe shuffle dirs:
         # route shuffle/spill through tmpfs so local disk isn't the bottleneck
         .config("spark.local.dir", _local_dir())
+        # bigger Arrow batches = fewer python round-trips for the
+        # batch-vectorized Viterbi (it vectorizes across the whole batch)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "30000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
