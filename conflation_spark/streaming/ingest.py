@@ -137,3 +137,57 @@ def stream_events(spark, input_dir: str, window: str = "1 minute") -> DataFrame:
     )
     stream = spark.readStream.schema(schema).parquet(input_dir)
     return windowed_event_counts(stream, window)
+
+
+def stateful_user_totals(spark, input_dir: str, max_files_per_trigger: int = 1):
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running event totals that persist across microbatches.
+
+    State = (total_events, total_value) per user_id; each microbatch emits
+    one row per active user with the batch's contribution and the running
+    totals — the building block for incremental per-tile speed profiles
+    (state survives between trigger cycles exactly like a per-cell speed
+    histogram would).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n_batch = 0
+        v_batch = 0.0
+        for pdf in pdfs:
+            n_batch += len(pdf)
+            v_batch += float(pdf["value"].sum())
+        if state.exists:
+            n_total, v_total = state.get
+        else:
+            n_total, v_total = 0, 0.0
+        n_total += n_batch
+        v_total += v_batch
+        state.update((n_total, float(v_total)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "batch_events": [n_batch],
+                "total_events": [n_total],
+                "total_value": [round(v_total, 2)],
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, batch_events long, total_events long, total_value double",
+        stateStructType="n long, v double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
