@@ -7,72 +7,45 @@ from conflation_spark.functions.config_build import (
     render_config_json,
 )
 
+# Golden vectors expressed compactly: per density, the tuple is
+# (way[8], link_exiting[5], link_turning[5], roundabout[8],
+#  driveway, alley, parking_aisle, drive-through). "." = None.
+# Values match the reference's own unit-test case exactly.
+def _blk(way, lex, ltu, rab, drv, aly, park, dthru):
+    dec = lambda s: [None if x == "." else int(x) for x in s.split()]  # noqa: E731
+    return {
+        "way": dec(way),
+        "link_exiting": dec(lex),
+        "link_turning": dec(ltu),
+        "roundabout": dec(rab),
+        "driveway": drv,
+        "alley": aly,
+        "parking_aisle": park,
+        "drive-through": dthru,
+    }
+
+
 GOLDEN_INPUT = {
     "iso3166-1": "FR",
-    "rural": {
-        "way": [None, None, 55, 45, None, 30, None, None],
-        "link_exiting": [72, 67, None, 57, 53],
-        "link_turning": [None, 73, 43, 41, None],
-        "roundabout": [40, 31, 25, 24, None, None, None, None],
-        "driveway": 16,
-        "alley": 12,
-        "parking_aisle": 40,
-        "drive-through": 15,
-    },
-    "suburban": {
-        "way": [90, None, None, None, None, None, None, 13],
-        "link_exiting": [None, None, None, None, 45],
-        "link_turning": [50, 62, None, 35, 30],
-        "roundabout": [37, 32, 27, 20, 19, None, None, None],
-        "driveway": 16,
-        "alley": 10,
-        "parking_aisle": 31,
-        "drive-through": 10,
-    },
-    "urban": {
-        "way": [None, None, None, None, None, 20, 15, 10],
-        "link_exiting": [None, None, 23, 59, None],
-        "link_turning": [None, 43, 32, 21, 19],
-        "roundabout": [32, 27, 22, 17, 16, 16, 14, None],
-        "driveway": None,
-        "alley": None,
-        "parking_aisle": None,
-        "drive-through": None,
-    },
+    "rural": _blk(". . 55 45 . 30 . .", "72 67 . 57 53", ". 73 43 41 .",
+                  "40 31 25 24 . . . .", 16, 12, 40, 15),
+    "suburban": _blk("90 . . . . . . 13", ". . . . 45", "50 62 . 35 30",
+                     "37 32 27 20 19 . . .", 16, 10, 31, 10),
+    "urban": _blk(". . . . . 20 15 10", ". . 23 59 .", ". 43 32 21 19",
+                  "32 27 22 17 16 16 14 .", None, None, None, None),
 }
 
+# expected: interior interpolation + two-end extrapolation filled in;
+# suburban link_exiting skipped (<2 points), suburban link_turning and
+# urban link_exiting skipped (non-monotonic)
 GOLDEN_EXPECTED = {
     "iso3166-1": "FR",
-    "rural": {
-        "way": [75, 65, 55, 45, 38, 30, 22, 14],
-        "link_exiting": [72, 67, 62, 57, 53],
-        "link_turning": [103, 73, 43, 41, 39],
-        "roundabout": [40, 31, 25, 24, 23, 22, 21, 20],
-        "driveway": 16,
-        "alley": 12,
-        "parking_aisle": 40,
-        "drive-through": 15,
-    },
-    "suburban": {
-        "way": [90, 79, 68, 57, 46, 35, 24, 13],
-        "link_exiting": [None, None, None, None, 45],  # <2 points: skip
-        "link_turning": [50, 62, None, 35, 30],  # non-monotonic: skip
-        "roundabout": [37, 32, 27, 20, 19, 18, 17, 16],
-        "driveway": 16,
-        "alley": 10,
-        "parking_aisle": 31,
-        "drive-through": 10,
-    },
-    "urban": {
-        "way": [45, 40, 35, 30, 25, 20, 15, 10],
-        "link_exiting": [None, None, 23, 59, None],  # non-monotonic: skip
-        "link_turning": [54, 43, 32, 21, 19],
-        "roundabout": [32, 27, 22, 17, 16, 16, 14, 12],
-        "driveway": None,
-        "alley": None,
-        "parking_aisle": None,
-        "drive-through": None,
-    },
+    "rural": _blk("75 65 55 45 38 30 22 14", "72 67 62 57 53", "103 73 43 41 39",
+                  "40 31 25 24 23 22 21 20", 16, 12, 40, 15),
+    "suburban": _blk("90 79 68 57 46 35 24 13", ". . . . 45", "50 62 . 35 30",
+                     "37 32 27 20 19 18 17 16", 16, 10, 31, 10),
+    "urban": _blk("45 40 35 30 25 20 15 10", ". . 23 59 .", "54 43 32 21 19",
+                  "32 27 22 17 16 16 14 12", None, None, None, None),
 }
 
 
