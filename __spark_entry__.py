@@ -396,6 +396,14 @@ def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
 
 
+def _q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from conflation_spark.operators.tiling import rasterize_points
+    from conflation_spark.sources.spans import decode_points, load_documents
+
+    pts = decode_points(load_documents(spark, _spatial_dir(sf_dir)))
+    return rasterize_points(pts, zoom=13)
+
+
 def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -439,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_accepted_docs": _q_tf_accepted,
         "rollup_medians": _q_rollup,
         "tile_cells": _q_tile_cells,
+        "rasterize_density": _q_rasterize,
         # training-data pipeline
         "dedup_exact_groups": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -554,6 +563,26 @@ SELECT doc_id FROM (
   SELECT doc_id, row_number() OVER (PARTITION BY owner_cell ORDER BY doc_id) AS rn
   FROM cells
 ) WHERE rn <= 3
+""",
+        "rasterize_density": f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s
+  FROM read_parquet('{d}/documents.parquet')
+),
+pts AS (
+  SELECT CAST(json_extract(s.text, '$.lon') AS DOUBLE) AS lon,
+         CAST(json_extract(s.text, '$.lat') AS DOUBLE) AS lat
+  FROM sp WHERE s.kind = 'gps'
+),
+c AS (
+  SELECT CAST(floor((least(greatest(lon, -179.9999), 179.9999) + 180.0) / 360.0 * 8192.0) AS BIGINT) AS x,
+         CAST(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.0511), 85.0511)))
+                 + sqrt(tan(radians(least(greatest(lat, -85.0511), 85.0511)))
+                        * tan(radians(least(greatest(lat, -85.0511), 85.0511))) + 1.0)) / pi()) / 2.0 * 8192.0) AS BIGINT) AS y
+  FROM pts
+)
+SELECT x * 8192 + y AS cell, x, y, count(*) AS n_points
+FROM c GROUP BY x, y
 """,
         "dedup_exact_groups": f"""
 WITH h AS (

@@ -52,8 +52,7 @@ def tile_nw_lon(x: Column, zoom: int) -> Column:
 
 
 def tile_nw_lat(y: Column, zoom: int) -> Column:
-    n = math.pi - 2.0 * math.pi * 1.0 / (1 << zoom)  # placeholder, built below
-    del n
+    """NW-corner lat of tile y (inverse of tile_y, mapillary.py:773-781)."""
     inner = F.lit(math.pi) * (1.0 - 2.0 * y.cast("double") / F.lit(float(1 << zoom)))
     return F.degrees(F.atan(F.sinh(inner)))
 
@@ -117,3 +116,62 @@ def point_in_bbox(lon: Column, lat: Column, lo_lon, lo_lat, hi_lon, hi_lat) -> C
     """F12 half-open containment: lo <= v < hi (mapillary.py:748-752) —
     tile-boundary points belong to exactly one owner."""
     return (lon >= lo_lon) & (lon < hi_lon) & (lat >= lo_lat) & (lat < hi_lat)
+
+
+def point_in_polygon(lon: Column, lat: Column, polygon: Column) -> Column:
+    """Ray-casting point-in-polygon, pure array expressions (JVM-side).
+
+    ``polygon``: array<struct<lon:double, lat:double>> (closed or open ring;
+    the closing edge is added automatically). Standard even-odd rule: count
+    edges crossing the horizontal ray to +inf; odd => inside. Points exactly
+    on edges follow the half-open convention of the crossing test.
+    """
+    n = F.size(polygon)
+    ring_a = polygon
+    ring_b = F.concat(F.slice(polygon, 2, n - 1), F.slice(polygon, 1, 1))
+    crossings = F.aggregate(
+        F.zip_with(
+            ring_a,
+            ring_b,
+            lambda a, b: F.when(
+                ((a["lat"] > lat) != (b["lat"] > lat))
+                & (
+                    lon
+                    < (b["lon"] - a["lon"]) * (lat - a["lat"]) / (b["lat"] - a["lat"])
+                    + a["lon"]
+                ),
+                1,
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.pmod(crossings, F.lit(2)) == 1
+
+
+def rasterize_points(points: DataFrame, zoom: int = DEFAULT_ZOOM) -> DataFrame:
+    """Vector -> raster: aggregate points into the tile grid
+    (cell, x, y, n_points) — a density raster at the given zoom."""
+    p = points.select(
+        tile_x(F.col("lon"), zoom).alias("x"), tile_y(F.col("lat"), zoom).alias("y")
+    )
+    return (
+        p.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .withColumn("cell", pack_cell(F.col("x"), F.col("y"), zoom))
+        .select("cell", "x", "y", "n_points")
+    )
+
+
+def vectorize_cells(raster: DataFrame, zoom: int = DEFAULT_ZOOM) -> DataFrame:
+    """Raster -> vector: cells back to their bounding-box polygons
+    (closed rings, NW/NE/SE/SW), e.g. for exporting heatmap tiles."""
+    w_lon = tile_nw_lon(F.col("x"), zoom)
+    e_lon = tile_nw_lon(F.col("x") + 1, zoom)
+    n_lat = tile_nw_lat(F.col("y"), zoom)
+    s_lat = tile_nw_lat(F.col("y") + 1, zoom)
+    pt = lambda lo, la: F.struct(lo.alias("lon"), la.alias("lat"))  # noqa: E731
+    return raster.withColumn(
+        "polygon",
+        F.array(pt(w_lon, n_lat), pt(e_lon, n_lat), pt(e_lon, s_lat), pt(w_lon, s_lat)),
+    )

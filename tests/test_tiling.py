@@ -125,3 +125,47 @@ def test_salted_join_equals_broadcast(spark, fixture_dir):
     sa = {tuple(r[k] for k in key) for r in a.select(*key).collect()}
     sb = {tuple(r[k] for k in key) for r in b.select(*key).collect()}
     assert sa == sb and len(sa) > 0
+
+
+def test_point_in_polygon_ray_casting(spark):
+    # unit square + a concave "L" polygon
+    sq = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    ell = [(0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0), (1.0, 2.0), (0.0, 2.0)]
+    rows = [
+        (0.5, 0.5, sq, True), (1.5, 0.5, sq, False), (-0.1, 0.5, sq, False),
+        (0.5, 1.5, ell, True), (1.5, 1.5, ell, False), (1.5, 0.5, ell, True),
+        (0.5, 0.5, ell, True), (2.5, 0.5, ell, False),
+    ]
+    df = spark.createDataFrame(
+        [(lon, lat, [{"lon": a, "lat": b} for a, b in poly], want)
+         for lon, lat, poly, want in rows],
+        "lon double, lat double, polygon array<struct<lon:double,lat:double>>, want boolean",
+    )
+    got = df.select(
+        "want", tiling.point_in_polygon(F.col("lon"), F.col("lat"), F.col("polygon")).alias("got")
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"]
+
+
+def test_rasterize_vectorize_roundtrip(spark, fixture_dir):
+    from conflation_spark.sources.spans import decode_points, load_documents
+
+    pts = decode_points(load_documents(spark, fixture_dir))
+    raster = tiling.rasterize_points(pts, zoom=12)
+    total = raster.agg(F.sum("n_points")).collect()[0][0]
+    assert total == pts.count()  # every point lands in exactly one cell
+    vec = tiling.vectorize_cells(raster, zoom=12)
+    rows = vec.limit(50).collect()
+    for r in rows:
+        poly = r["polygon"]
+        assert len(poly) == 4
+        assert poly[0]["lon"] < poly[1]["lon"]  # NW -> NE
+        assert poly[0]["lat"] > poly[3]["lat"]  # NW above SW
+    # each cell's centroid must be inside its own polygon (PIP consistency)
+    centroid_lon = (F.col("polygon")[0]["lon"] + F.col("polygon")[1]["lon"]) / 2
+    centroid_lat = (F.col("polygon")[0]["lat"] + F.col("polygon")[3]["lat"]) / 2
+    inside = vec.select(
+        tiling.point_in_polygon(centroid_lon, centroid_lat, F.col("polygon")).alias("i")
+    )
+    assert all(r["i"] for r in inside.collect())
