@@ -175,3 +175,18 @@ def vectorize_cells(raster: DataFrame, zoom: int = DEFAULT_ZOOM) -> DataFrame:
         "polygon",
         F.array(pt(w_lon, n_lat), pt(e_lon, n_lat), pt(e_lon, s_lat), pt(w_lon, s_lat)),
     )
+
+
+def cell_parent(cell: Column, zoom: int, parent_zoom: int) -> Column:
+    """Hierarchical cell rollup (H3-style parent): the packed cell id of the
+    ancestor tile at a coarser zoom. Pure bit/offset arithmetic — lets
+    per-cell aggregates roll up zoom levels without touching lon/lat again
+    (e.g. z16 candidate cells -> z5 routable-prune cells)."""
+    dz = zoom - parent_zoom
+    if dz < 0:
+        raise ValueError("parent_zoom must be <= zoom")
+    x = F.floor(cell / F.lit(1 << zoom))
+    y = cell - x * F.lit(1 << zoom)
+    px = F.floor(x / F.lit(1 << dz))
+    py = F.floor(y / F.lit(1 << dz))
+    return (px * F.lit(1 << parent_zoom) + py).cast("long")

@@ -169,3 +169,15 @@ def test_rasterize_vectorize_roundtrip(spark, fixture_dir):
         tiling.point_in_polygon(centroid_lon, centroid_lat, F.col("polygon")).alias("i")
     )
     assert all(r["i"] for r in inside.collect())
+
+
+def test_cell_parent_consistency(spark, fixture_dir):
+    from conflation_spark.sources.spans import decode_points, load_documents
+
+    pts = decode_points(load_documents(spark, fixture_dir)).limit(5000)
+    df = pts.select(
+        tiling.cell_of(F.col("lon"), F.col("lat"), 16).alias("c16"),
+        tiling.cell_of(F.col("lon"), F.col("lat"), 5).alias("c5"),
+    ).withColumn("parent", tiling.cell_parent(F.col("c16"), 16, 5))
+    bad = df.where(F.col("parent") != F.col("c5")).count()
+    assert bad == 0
