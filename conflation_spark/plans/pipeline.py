@@ -63,6 +63,7 @@ def _write_stage(
             }
         )
         total_rows += f.metadata.num_rows
+    part_rows = [p["rows"] for p in parts] or [0]
     manifest = {
         "stage": stage,
         "inputs": inputs,
@@ -71,6 +72,10 @@ def _write_stage(
         "partitions": len(parts),
         "write_seconds": round(elapsed, 3),
         "completed_at_epoch": int(time.time()),
+        # skew indicators: a hot partition shows up as max_rows >> mean
+        "max_partition_rows": max(part_rows),
+        "min_partition_rows": min(part_rows),
+        "mean_partition_rows": round(sum(part_rows) / len(part_rows), 1),
         "parts": parts,
     }
     os.makedirs(os.path.dirname(_lineage_path(work_dir, stage)), exist_ok=True)
