@@ -52,6 +52,15 @@ def synth_blobs(spark, documents: DataFrame) -> DataFrame:
     )
 
 
+try:  # capability probe: use a real decoder wherever the lib exists
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # container has no PIL — stub path
+    _PILImage = None
+    HAS_PIL = False
+
+
 def _decode_image_stub(content: bytes) -> tuple[int, int, np.ndarray]:
     """STUB: real impl would be PIL/turbojpeg decode. Deterministic fake:
     dims + feature vector derived from the content digest."""
@@ -64,6 +73,25 @@ def _decode_image_stub(content: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, feat
 
 
+def _decode_image_pil(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Real decode (used when PIL is importable): dims + a 16-dim feature =
+    mean luminance over a 4x4 grid of the image."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(content)).convert("L")
+    width, height = img.size
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    gy = np.array_split(arr, 4, axis=0)
+    feat = np.array(
+        [cell.mean() if cell.size else 0.0 for row in gy for cell in np.array_split(row, 4, axis=1)],
+        dtype=np.float32,
+    )
+    return width, height, feat
+
+
+DEFAULT_IMAGE_DECODER = _decode_image_pil if HAS_PIL else _decode_image_stub
+
+
 def media_metadata(blobs: DataFrame) -> DataFrame:
     """Typed metadata over the binary column — pure column ops."""
     return blobs.select(
@@ -74,18 +102,20 @@ def media_metadata(blobs: DataFrame) -> DataFrame:
     )
 
 
-def extract_image_features(blobs: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def extract_image_features(blobs: DataFrame, decoder=None) -> DataFrame:
     """mapInPandas over binary content -> (width, height, feature[16]).
 
-    Real Arrow binary batches; the decode kernel is the stub above.
+    Real Arrow binary batches; the decode kernel defaults to PIL when the
+    lib is importable (capability probe) and the deterministic stub when not.
     Partition-friendly: stateless per batch, no driver collection.
     """
+    decode = decoder or DEFAULT_IMAGE_DECODER
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
-                w, h, feat = _decode_image_stub(bytes(content))
+                w, h, feat = decode(bytes(content))
                 rows.append((ref, w, h, feat.tolist()))
             yield pd.DataFrame(rows, columns=["media_ref", "width", "height", "feature"])
 

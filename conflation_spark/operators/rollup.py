@@ -21,32 +21,39 @@ from pyspark.sql import functions as F
 LEVEL_REGION, LEVEL_COUNTRY, LEVEL_WORLD = "region", "country", "world"
 
 
-def rollup_medians(measurements: DataFrame) -> DataFrame:
+def rollup_medians(measurements: DataFrame, extra_keys: list[str] | None = None) -> DataFrame:
     """measurements(country, region, density, road_class, type, kph) ->
-    (level, country, region, density, road_class, type, median_kph).
+    (level, country, region, density, road_class, type[, extra...], median_kph).
 
     ``country``/``region`` are NULL above their level. One wide shuffle; the
     grouping-sets expansion is map-side (partial percentile buffers combine).
+    Pure DataFrame API (``groupingSets``): no temp view, so concurrent calls
+    in one session can't race on a shared view name.
+
+    ``extra_keys``: additional grouping columns present at every level (e.g.
+    ``["hour"]`` for per-hour speed histograms — north-star extra dimension).
     """
-    measurements.createOrReplaceTempView("_rollup_in")
-    spark = measurements.sparkSession
-    out = spark.sql(
-        """
-        SELECT
-          CASE WHEN grouping(country) = 1 THEN 'world'
-               WHEN grouping(region) = 1 THEN 'country'
-               ELSE 'region' END AS level,
-          CASE WHEN grouping(country) = 0 THEN country END AS country,
-          CASE WHEN grouping(region) = 0 THEN region END AS region,
-          density, road_class, type,
-          percentile(kph, 0.5) AS median_kph
-        FROM _rollup_in
-        GROUP BY GROUPING SETS (
-          (country, region, density, road_class, type),
-          (country, density, road_class, type),
-          (density, road_class, type)
-        )
-        """
+    extra = list(extra_keys or [])
+    base = ["density", "road_class", "type", *extra]
+    agg = measurements.groupingSets(
+        [["country", "region", *base], ["country", *base], base],
+        "country",
+        "region",
+        *base,
+    ).agg(
+        F.percentile("kph", F.lit(0.5)).alias("median_kph"),
+        F.grouping("country").alias("_gc"),
+        F.grouping("region").alias("_gr"),
+    )
+    out = agg.select(
+        F.when(F.col("_gc") == 1, "world")
+        .when(F.col("_gr") == 1, "country")
+        .otherwise("region")
+        .alias("level"),
+        F.when(F.col("_gc") == 0, F.col("country")).alias("country"),
+        F.when(F.col("_gr") == 0, F.col("region")).alias("region"),
+        *base,
+        "median_kph",
     )
     # drop the empty-region region-level groups (they only feed country/world)
     return out.where(~((F.col("level") == "region") & (F.col("region") == "")))

@@ -35,8 +35,14 @@ def get_spark(
     # Parse N out of local[N] to size shuffle partitions; on a real cluster
     # this would be executors * cores (or left to AQE coalescing).
     if shuffle_partitions is None:
+        # masters like local[4,2] carry (cores, maxFailures) — only the first
+        # token is the core count; anything unparseable falls back to cpus
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if inner == "*" else int(inner)
+        first = inner.split(",")[0].strip()
+        try:
+            shuffle_partitions = cpus if first == "*" else int(first)
+        except ValueError:
+            shuffle_partitions = cpus
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -23,8 +23,20 @@ from pyspark.sql import functions as F
 GPS_JSON_SCHEMA = "time double, lon double, lat double, radius double"
 
 
-def load_documents(spark, fixture_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{fixture_dir}/documents.parquet")
+def load_documents(spark, source: str) -> DataFrame:
+    """Load the documents table from a directory (parquet) or a catalog
+    table identifier (``spark.read.table``).
+
+    The table branch is the Iceberg seam (north_rule: Iceberg tables of
+    interleaved docs): with the iceberg-spark runtime jars and a catalog
+    configured, pass ``catalog.db.documents`` and the scan (incl. pushdown
+    and partition pruning) goes through the Iceberg source — the container
+    has no Iceberg jars, so CI covers the branch with temp views and skips
+    the format-specific test (see tests/test_spans.py).
+    """
+    if "/" not in source and not source.endswith(".parquet"):
+        return spark.read.table(source)
+    return spark.read.parquet(f"{source}/documents.parquet")
 
 
 def decode_points(documents: DataFrame) -> DataFrame:

@@ -81,7 +81,11 @@ def test_multimodal_plumbing(spark, fixture_dir):
     assert all(r["n_bytes"] == 32 for r in m)  # sha256-derived fake payloads
     assert len({r["media_kind"] for r in m}) == 3
 
-    feats = multimodal.extract_image_features(blobs).collect()
+    # fake blobs are not decodable images: pin the stub decoder explicitly
+    # (the default is PIL wherever that lib exists — capability probe)
+    feats = multimodal.extract_image_features(
+        blobs, decoder=multimodal._decode_image_stub
+    ).collect()
     n_images = blobs.where(F.col("media_kind") == "image").count()
     assert len(feats) == n_images
     for r in feats[:5]:
@@ -99,3 +103,30 @@ def test_multimodal_plumbing(spark, fixture_dir):
 def test_multimodal_decode_stub_raises_on_none():
     with pytest.raises(NotImplementedError):
         multimodal._decode_image_stub(None)
+
+
+def test_multimodal_default_decoder_matches_capability():
+    want = multimodal._decode_image_pil if multimodal.HAS_PIL else multimodal._decode_image_stub
+    assert multimodal.DEFAULT_IMAGE_DECODER is want
+
+
+@pytest.mark.skipif(not multimodal.HAS_PIL, reason="PIL not installed in this container")
+def test_multimodal_real_decode_roundtrip(spark):
+    """Real-decoder path: encode a tiny PNG with PIL, decode it through the
+    Spark plumbing, check dims + the 4x4 luminance feature."""
+    import io
+
+    from PIL import Image
+
+    img = Image.new("L", (8, 12), color=128)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    blobs = spark.createDataFrame(
+        [("imgX", buf.getvalue(), "image")], "media_ref string, content binary, media_kind string"
+    )
+    rows = multimodal.extract_image_features(blobs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"]) == (8, 12)
+    assert len(r["feature"]) == multimodal.FEATURE_DIM
+    assert all(abs(x - 128 / 255.0) < 1e-5 for x in r["feature"])

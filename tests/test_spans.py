@@ -52,3 +52,43 @@ def test_span_fingerprint_stable(spark, fixture_dir):
         for r in span_fingerprint(docs.repartition(7)).collect()
     }
     assert fp1 == fp2
+
+
+def test_load_documents_table_identifier_branch(spark, fixture_dir):
+    """Catalog-table branch of the Iceberg seam: a table identifier (no path
+    separator) goes through spark.read.table. Covered with a temp view here;
+    with Iceberg jars + a catalog the same call reads the Iceberg table."""
+    from conflation_spark.sources.spans import decode_points, load_documents
+
+    spark.read.parquet(f"{fixture_dir}/documents.parquet").createOrReplaceTempView(
+        "docs_seam_view"
+    )
+    via_table = load_documents(spark, "docs_seam_view")
+    via_path = load_documents(spark, fixture_dir)
+    assert via_table.schema == via_path.schema
+    assert decode_points(via_table).count() == decode_points(via_path).count()
+
+
+def _has_iceberg(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def test_load_documents_iceberg_format(spark, fixture_dir):
+    """Format-specific Iceberg test: skipped without the iceberg-spark
+    runtime jars (not shipped in this container — CLAUDE.md known gap)."""
+    import pytest
+
+    if not _has_iceberg(spark):
+        pytest.skip("iceberg-spark runtime jars not on the classpath")
+    spark.conf.set("spark.sql.catalog.ice", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.ice.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.ice.warehouse", "/tmp/ice_warehouse")
+    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    docs.writeTo("ice.db.documents").createOrReplace()
+    from conflation_spark.sources.spans import decode_points, load_documents
+
+    assert decode_points(load_documents(spark, "ice.db.documents")).count() > 0
