@@ -207,11 +207,17 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(td, "text_id", "text")
 
 
+# document-frequency cap for the shingle self-join and bucket-size cap for
+# the LSH band join — the scale guards; mirrored exactly in the oracle SQL
+NGRAM_MAX_DF = 64
+LSH_MAX_BUCKET = 200
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.dedup import ngram_jaccard_pairs
 
     td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
-    return ngram_jaccard_pairs(td, "text_id", "text", 3, 0.8)
+    return ngram_jaccard_pairs(td, "text_id", "text", 3, 0.8, max_doc_freq=NGRAM_MAX_DF)
 
 
 def _q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,8 +229,8 @@ def _q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
-    cands = minhash_lsh_pairs(td, "text_id", "text")
-    exact = ngram_jaccard_pairs(td, "text_id", "text", 3, 0.8)
+    cands = minhash_lsh_pairs(td, "text_id", "text", max_bucket_size=LSH_MAX_BUCKET)
+    exact = ngram_jaccard_pairs(td, "text_id", "text", 3, 0.8, max_doc_freq=NGRAM_MAX_DF)
     return exact.join(cands, ["id_a", "id_b"], "left_semi").select(
         "id_a", "id_b", "jaccard_c"
     )
@@ -234,7 +240,7 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.dedup import simhash_pairs
 
     td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
-    return simhash_pairs(td, "text_id", "text", 3)  # rows-only check (no SQL twin)
+    return simhash_pairs(td, "text_id", "text", 3)
 
 
 def _q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,7 +263,7 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = spark.read.parquet(f"{_text_dir(sf_dir)}/vectors.parquet")
     q = v.orderBy("vec_id").limit(20).selectExpr("vec_id as query_id", "vec")
-    return lsh_topk(v, q, k=10, id_col="vec_id", vec_col="vec")  # rows-only
+    return lsh_topk(v, q, k=10, id_col="vec_id", vec_col="vec")
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,7 +493,12 @@ WITH t AS (
   SELECT text_id, {grams} AS g
   FROM read_parquet('{td}/textdocs.parquet')
 ),
-e AS (SELECT text_id, unnest(g) AS gram FROM t),
+e_raw AS (SELECT text_id, unnest(g) AS gram FROM t),
+e AS (
+  SELECT text_id, gram FROM (
+    SELECT text_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM e_raw
+  ) WHERE df <= {max_df}
+),
 sz AS (SELECT text_id, count(*) AS sz FROM e GROUP BY text_id),
 inter AS (
   SELECT a.text_id AS ia, b.text_id AS ib, count(*) AS ni
@@ -507,7 +518,7 @@ def oracle_sql() -> dict[str, str]:
     # oracles must resolve the same fixture dir the queries used at sf0.01
     d = _spatial_dir("/root/testdata/sf0.01")
     td = _text_dir("/root/testdata/sf0.01")
-    jaccard_sql = _DUCK_JACCARD.format(grams=_DUCK_GRAMS, td=td)
+    jaccard_sql = _DUCK_JACCARD.format(grams=_DUCK_GRAMS, td=td, max_df=NGRAM_MAX_DF)
     langs = ("de", "en", "es", "fr", "zh")
     from conflation_spark.operators.text import LANG_STOPWORDS
 
@@ -595,6 +606,43 @@ FROM h GROUP BY text_md5 HAVING count(*) > 1
 """,
         "ngram_jaccard_pairs": jaccard_sql,
         "minhash_lsh_verified": jaccard_sql,
+        # simhash: the fixture's `simhash` column is precomputed by the SAME
+        # numpy kernel the Spark pandas_udf runs (functions/kernels.py); the
+        # oracle expresses only the 4x16-bit chunk banding + Hamming verify
+        "simhash_pairs": f"""
+WITH s AS (SELECT text_id AS id, simhash AS sh FROM read_parquet('{td}/textdocs.parquet')),
+ch AS (
+  SELECT id, sh, i AS ci, (sh >> (16 * i)) & 65535 AS cv
+  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sa, b.sh AS sb
+  FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+""",
+        # ann lsh: `lsh_bucket` precomputed by the shared hyperplane kernel;
+        # the oracle expresses the multi-probe (own + Hamming-1 buckets),
+        # bucket equi-join, exact cosine and rank
+        "ann_lsh_topk": f"""
+WITH v AS (SELECT vec_id, vec, lsh_bucket FROM read_parquet('{td}/vectors.parquet')),
+q AS (SELECT vec_id AS query_id, vec AS qvec, lsh_bucket AS qb FROM v ORDER BY vec_id LIMIT 20),
+p AS (
+  SELECT query_id, qvec, xor(qb, m) AS bucket
+  FROM q CROSS JOIN (SELECT unnest(CAST([0,1,2,4,8,16,32,64,128] AS BIGINT[])) AS m)
+),
+sc AS (
+  SELECT p.query_id, v.vec_id AS neighbor_id,
+         CAST(round(list_cosine_similarity(p.qvec, v.vec) * 1000000) AS BIGINT) AS cosine_c
+  FROM p JOIN v ON v.lsh_bucket = p.bucket
+  WHERE p.query_id <> v.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_c DESC, neighbor_id) AS BIGINT) AS rank,
+       cosine_c
+FROM sc QUALIFY rank <= 10
+""",
         "embedding_cosine_pairs": f"""
 WITH v AS (SELECT vec_id, vec FROM read_parquet('{td}/vectors.parquet'))
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

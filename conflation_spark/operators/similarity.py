@@ -1,27 +1,65 @@
 """Similarity search over embedding columns (array<float>).
 
-- brute-force cosine top-k: the correctness baseline. Query set broadcast,
-  dot products via zip_with/aggregate (JVM-side), per-query top-k via
-  row_number. Exact; O(Q x N).
+- brute-force cosine top-k: the exact baseline. The bounded QUERY set (a
+  probe set by definition — never the corpus) is collected and
+  closure-broadcast as a normalized matrix; the corpus is scanned once by
+  ``mapInPandas`` where each Arrow batch does a single BLAS matmul and
+  emits its batch-local top-k per query. A final window reduces the
+  Q x k x n_batches survivors to Q x k. O(Q x N) compute, fully
+  distributed, no corpus collection, no interpreted per-pair lambdas
+  (CLAUDE.md rule 3: HOF lambdas on join paths are 10-100x traps).
 - hyperplane-LSH bucketed ANN: the scale path. h random hyperplanes ->
-  h-bit signature; probe the query's bucket plus all Hamming-1 neighbors
-  (multi-probe). Join is an equi-join on bucket id, so at 10^12 vectors the
-  fan-out is bucket-local; recall measured in tests against brute force.
+  h-bit signature via one numpy matmul per batch
+  (``functions.kernels.hyperplane_signature`` — shared with datagen so the
+  DuckDB oracle can read the fixture's precomputed ``lsh_bucket`` column);
+  probe the query's bucket plus all Hamming-1 neighbors (multi-probe).
+  The candidate join is an equi-join on bucket id, so at 10^12 vectors the
+  fan-out is bucket-local; candidate cosines are vectorized per batch.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from conflation_spark.functions.kernels import (
+    hyperplane_signature,
+    lsh_planes,
+    stack_vectors,
+)
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+# the LSH family used for the `lsh_bucket` fixture column (datagen_text)
+ANN_N_PLANES = 8
+ANN_DIM = 64
+ANN_SEED = 42
+
+TOPK_SCHEMA = "query_id string, neighbor_id string, cosine_c long"
 
 
-def _norm(v):
-    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+def _topk_window(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_c").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine_c")
+    )
+
+
+def _collect_query_matrix(queries: DataFrame, query_id_col: str, vec_col: str):
+    """Bounded probe set -> (sorted ids, matrix, norms). The query set is
+    small by contract (it is the user's probe list); the CORPUS is never
+    collected."""
+    rows = queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")).collect()
+    qids = np.array([r["qid"] for r in rows], dtype="U")
+    order = np.argsort(qids, kind="stable")
+    qids = qids[order]
+    qmat = np.array([rows[int(i)]["qv"] for i in order], dtype=np.float64)
+    qnrm = np.linalg.norm(qmat, axis=1)
+    return qids, qmat, qnrm
 
 
 def brute_force_topk(
@@ -37,99 +75,107 @@ def brute_force_topk(
     Deterministic: rank by (rounded cosine desc, neighbor_id asc) so results
     are stable across engines and partitionings. Self-matches excluded.
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            _norm(F.col(vec_col)).alias("qnrm"),
-        )
-    )
-    e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("evec"),
-        _norm(F.col(vec_col)).alias("enrm"),
-    )
-    joined = q.crossJoin(e).where(F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("qvec"), F.col("evec")) / (F.col("qnrm") * F.col("enrm"))
-    scored = joined.withColumn("cosine_c", F.round(cos * 1000000).cast("long"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_c").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine_c")
-    )
+    qids, qmat, qnrm = _collect_query_matrix(queries, query_id_col, vec_col)
 
-
-def hyperplane_signature(vec, planes: np.ndarray):
-    """h-bit signature column: bit i = (vec . plane_i) > 0."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(x)) for x in planes[i]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy().astype("U")
+            mat = stack_vectors(pdf["_vec"])
+            nrm = np.linalg.norm(mat, axis=1)
+            # dot / (|a| * |q|): same form as the SQL oracle's cosine
+            cos_c = np.round((mat @ qmat.T) / (nrm[:, None] * qnrm[None, :]) * 1e6).astype(
+                np.int64
             )
-            > 0,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i in range(len(planes))
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+            out = []
+            for qi in range(len(qids)):
+                mask = ids != qids[qi]
+                c, nb = cos_c[mask, qi], ids[mask]
+                if not len(c):
+                    continue
+                sel = np.lexsort((nb, -c))[:k]  # batch-local top-k, total order
+                out.append(pd.DataFrame({"query_id": qids[qi], "neighbor_id": nb[sel], "cosine_c": c[sel]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(op, schema=TOPK_SCHEMA)
+    return _topk_window(scored, k)
+
+
+def signature_udf(planes: np.ndarray):
+    """pandas_udf computing the h-bit hyperplane signature of an
+    array<double> column — one numpy matmul per Arrow batch.
+
+    Marked nondeterministic as a PLANNING fence (the kernel is pure):
+    it stops Catalyst from duplicating the ArrowEvalPython into
+    constraint-inferred filters below the exchange barrier."""
+
+    def sig(col: pd.Series) -> pd.Series:
+        return pd.Series(hyperplane_signature(stack_vectors(col), planes))
+
+    return F.pandas_udf(sig, "long").asNondeterministic()
+
+
+def _cosine_pairs_kernel(batches):
+    """mapInPandas kernel over joined candidate rows
+    (query_id, qvec, neighbor_id, evec) -> (query_id, neighbor_id, cosine_c).
+    Row-wise einsum — vectorized, no per-pair interpreted lambdas."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        qm = stack_vectors(pdf["qvec"])
+        em = stack_vectors(pdf["evec"])
+        dots = np.einsum("ij,ij->i", qm, em)
+        cos = dots / (np.linalg.norm(qm, axis=1) * np.linalg.norm(em, axis=1))
+        yield pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy(),
+                "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                "cosine_c": np.round(cos * 1e6).astype(np.int64),
+            }
+        )
 
 
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
-    dim: int = 64,
-    seed: int = 42,
+    n_planes: int = ANN_N_PLANES,
+    dim: int = ANN_DIM,
+    seed: int = ANN_SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """ANN top-k: candidates = same LSH bucket or any Hamming-1 bucket
-    (multi-probe), then exact cosine rank within candidates."""
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim))
+    (multi-probe), then exact cosine rank within candidates.
+
+    Probe buckets are all distinct and each corpus vector has exactly one
+    bucket, so a (query, neighbor) pair can match at most once — no
+    distinct/dedup shuffle is needed.
+    """
+    planes = lsh_planes(n_planes, dim, seed)
+    sig = signature_udf(planes)
     e = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("evec"),
-        _norm(F.col(vec_col)).alias("enrm"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+        sig(F.col(vec_col)).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col)).alias("qnrm"),
-        hyperplane_signature(F.col(vec_col), planes).alias("qbucket"),
+        sig(F.col(vec_col)).alias("qbucket"),
     )
-    # multi-probe: query probes its own bucket + all n_planes Hamming-1 buckets
-    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
-    probes = F.array_union(
-        F.array(F.col("qbucket")),
-        F.transform(masks, lambda m: F.col("qbucket").bitwiseXOR(m)),
+    # multi-probe: own bucket (mask 0) + all n_planes Hamming-1 buckets
+    masks = F.array(F.lit(0).cast("long"), *[F.lit(1 << i).cast("long") for i in range(n_planes)])
+    qp = F.broadcast(
+        q.withColumn("bucket", F.explode(F.transform(masks, lambda m: F.col("qbucket").bitwiseXOR(m))))
     )
-    qp = F.broadcast(q.withColumn("bucket", F.explode(probes)))
     joined = qp.join(e, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("qvec"), F.col("evec")) / (F.col("qnrm") * F.col("enrm"))
-    scored = joined.withColumn("cosine_c", F.round(cos * 1000000).cast("long")).select(
-        "query_id", "neighbor_id", "cosine_c"
-    ).distinct()
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_c").desc(), F.col("neighbor_id").asc()
+    scored = joined.select("query_id", "qvec", "neighbor_id", "evec").mapInPandas(
+        _cosine_pairs_kernel, schema=TOPK_SCHEMA
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine_c")
-    )
+    return _topk_window(scored, k)

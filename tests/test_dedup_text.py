@@ -180,3 +180,49 @@ def test_fingerprints(spark, textdocs, texts_local):
         assert rows[tid][0] == hashlib.md5(_norm(t).encode()).hexdigest()
     # near-dup docs share no md5 but exact dups do
     assert len({v[0] for v in rows.values()}) < len(rows)
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """A planted boilerplate cluster (f identical docs) makes every band
+    bucket size f; with max_bucket_size < f its f^2/2 pair blowup is dropped
+    and audited, while small clusters are untouched."""
+    rows = [(f"b{i:03d}", "the same boilerplate footer text repeated everywhere") for i in range(60)]
+    rows += [(f"u{i:03d}", f"unique doc number {i} with words {i * 7} and {i * 13}") for i in range(20)]
+    rows += [("p000", "a near pair alpha beta gamma delta one"),
+             ("p001", "a near pair alpha beta gamma delta one")]
+    df = spark.createDataFrame(rows, "text_id string, text string")
+    capped = dedup.minhash_lsh_pairs(df, "text_id", "text", max_bucket_size=50)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert ("p000", "p001") in got  # small cluster survives the cap
+    assert not any(a.startswith("b") for a, _ in got)  # hot cluster dropped
+    hot = dedup.lsh_hot_buckets(df, "text_id", "text", max_bucket_size=50).collect()
+    assert hot and all(r["bucket_size"] == 60 for r in hot)  # audit trail
+    uncapped = dedup.minhash_lsh_pairs(df, "text_id", "text")
+    assert uncapped.count() >= 60 * 59 // 2  # the blowup the cap prevents
+
+
+def test_ngram_df_cap_bounds_join(spark):
+    """Shingles above the document-frequency cap are excluded from both
+    intersection and sizes; pairs whose shared shingles are low-df keep
+    their exact jaccard."""
+    boiler = "all rights reserved contact us for more information today"
+    rows = [(f"b{i:03d}", boiler) for i in range(40)]
+    rows += [("x000", "alpha beta gamma delta epsilon zeta eta theta"),
+             ("x001", "alpha beta gamma delta epsilon zeta eta iota")]
+    df = spark.createDataFrame(rows, "text_id string, text string")
+    capped = dedup.ngram_jaccard_pairs(df, "text_id", "text", 3, 0.5, max_doc_freq=10)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_c"] for r in capped.collect()}
+    assert not any(a.startswith("b") for a, _ in got)  # boilerplate excluded
+    # exact jaccard for the low-df pair: 5 shared of 6+6 shingles -> 5/7
+    assert got[("x000", "x001")] == round(5 / 7 * 10000)
+
+
+def test_embedding_cosine_pairs_no_driver_collect(spark):
+    """The near-dup plan must be fully distributed: no CollectLimit/collect
+    of the corpus — the round-1 version materialized every vector on the
+    driver."""
+    d = ensure_text_fixture("sf0.001")
+    vecs = spark.read.parquet(f"{d}/vectors.parquet")
+    plan = dedup.embedding_cosine_pairs(vecs, "vec_id", "vec", 0.95)._jdf.queryExecution().executedPlan().toString()
+    assert "Collect" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
