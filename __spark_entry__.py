@@ -174,6 +174,50 @@ def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_measurements_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M1-M12 chain (reference valhalla.py:129-309) over the planted
+    synthetic traversal fixture — puts the measurement derivation (abort /
+    zero-dt / classification / hour attribution) under the DuckDB hash gate."""
+    from conflation_spark.operators.measurements import derive_measurements
+
+    d = _spatial_dir(sf_dir)
+    trav = spark.read.parquet(f"{d}/traversals_synth.parquet")
+    edges = spark.read.parquet(f"{d}/edges.parquet")
+    m = derive_measurements(trav, edges, keep_edge_id=True, keep_seq=True)
+    return m.select(
+        "doc_id",
+        F.col("edge_seq").cast("int").alias("edge_seq"),
+        "edge_id",
+        "country",
+        "region",
+        "density",
+        "road_class",
+        "type",
+        "hour",
+        F.round(F.col("kph") * 100).cast("long").alias("kph_c"),
+    )
+
+
+def _q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-level median rollup with the per-hour histogram dimension
+    (north-star extra grouping key)."""
+    from conflation_spark.operators.rollup import rollup_medians
+
+    d = _spatial_dir(sf_dir)
+    meas = spark.read.parquet(f"{d}/measurements.parquet")
+    r = rollup_medians(meas, extra_keys=["hour"])
+    return r.select(
+        "level",
+        F.coalesce("country", F.lit("~")).alias("country"),
+        F.coalesce("region", F.lit("~")).alias("region"),
+        "density",
+        "road_class",
+        "type",
+        F.col("hour").cast("int").alias("hour"),
+        F.round(F.col("median_kph") * 100).cast("long").alias("median_kph_c"),
+    )
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -452,6 +496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_doc_stats": _q_tf_doc_stats,
         "tf_accepted_docs": _q_tf_accepted,
         "rollup_medians": _q_rollup,
+        "measurements_derived": _q_measurements_derived,
+        "rollup_hourly": _q_rollup_hourly,
         "tile_cells": _q_tile_cells,
         "rasterize_density": _q_rasterize,
         # training-data pipeline
@@ -774,6 +820,71 @@ WHERE total_time >= 55
   AND num_poor / n_points <= 0.25
   AND total_dist >= 1000
   AND (mean_speed IS NULL OR mean_speed >= 10)
+""",
+        # the full M1-M12 chain in SQL: M1 ratio filter, prefix-max prev_t,
+        # M2 interior trim, LEFT edges join (missing edge_ids still abort on
+        # dt<0), M4/M7 first-violation abort, M5 zero-dt skip, M8-M12
+        # classification, hour-of-day at edge entry
+        "measurements_derived": f"""
+WITH t AS (SELECT * FROM read_parquet('{d}/traversals_synth.parquet')),
+ok AS (SELECT * FROM t WHERE CAST(n_unmatched AS DOUBLE) / n_points <= 0.25),
+w1 AS (
+  SELECT *, count(*) OVER (PARTITION BY doc_id) AS n_edges,
+         max(elapsed_time) OVER (PARTITION BY doc_id ORDER BY edge_seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_t
+  FROM ok
+),
+interior AS (SELECT * FROM w1 WHERE edge_seq > 0 AND edge_seq < n_edges - 1),
+j AS (
+  SELECT i.*, e.length_km, e.density AS e_density, e.road_class AS e_rc,
+         e.use AS e_use, e.roundabout, e.sign_cnt, e.country, e.region,
+         i.elapsed_time - i.prev_t AS dt,
+         CASE WHEN i.elapsed_time - i.prev_t > 0
+              THEN e.length_km / (i.elapsed_time - i.prev_t) * 3600.0 END AS kph
+  FROM interior i LEFT JOIN read_parquet('{d}/edges.parquet') e ON i.edge_id = e.edge_id
+),
+ab AS (
+  SELECT *, min(CASE WHEN dt < 0 OR (dt > 0 AND kph > 160.0) THEN edge_seq END)
+            OVER (PARTITION BY doc_id) AS abort_seq
+  FROM j
+),
+kept AS (
+  SELECT * FROM ab
+  WHERE (abort_seq IS NULL OR edge_seq < abort_seq)
+    AND dt > 0 AND length_km IS NOT NULL
+)
+SELECT doc_id, CAST(edge_seq AS INT) AS edge_seq, edge_id, country, region,
+  CASE WHEN e_density < 5 THEN 'rural' WHEN e_density < 11 THEN 'suburban'
+       ELSE 'urban' END AS density,
+  CASE WHEN e_rc = 'service_other' THEN 'service' ELSE e_rc END AS road_class,
+  CASE WHEN e_use = 'driveway' THEN 'driveway'
+       WHEN e_use = 'alley' THEN 'alley'
+       WHEN e_use = 'parking_aisle' THEN 'parking_aisle'
+       WHEN e_use = 'drive_through' THEN 'drive-through'
+       WHEN roundabout THEN 'roundabout'
+       WHEN e_use IN ('ramp', 'turn_channel')
+            THEN (CASE WHEN sign_cnt > 0 THEN 'link_exiting' ELSE 'link_turning' END)
+       ELSE 'way' END AS type,
+  CAST(floor(((t0 + prev_t) % 86400.0) / 3600.0) AS INT) AS hour,
+  CAST(round(kph * 100) AS BIGINT) AS kph_c
+FROM kept
+""",
+        "rollup_hourly": f"""
+WITH m AS (SELECT * FROM read_parquet('{d}/measurements.parquet')),
+lvl AS (
+  SELECT 'region' AS level, country, region, density, road_class, type, hour,
+         quantile_cont(kph, 0.5) AS med
+  FROM m WHERE region <> '' GROUP BY country, region, density, road_class, type, hour
+  UNION ALL
+  SELECT 'country', country, '~', density, road_class, type, hour, quantile_cont(kph, 0.5)
+  FROM m GROUP BY country, density, road_class, type, hour
+  UNION ALL
+  SELECT 'world', '~', '~', density, road_class, type, hour, quantile_cont(kph, 0.5)
+  FROM m GROUP BY density, road_class, type, hour
+)
+SELECT level, country, region, density, road_class, type, CAST(hour AS INT) AS hour,
+       CAST(round(med * 100) AS BIGINT) AS median_kph_c
+FROM lvl
 """,
         "rollup_medians": f"""
 WITH m AS (SELECT * FROM read_parquet('{d}/measurements.parquet')),

@@ -41,7 +41,7 @@ EARTH_RADIUS_M = 6378160.0  # parity with the reference haversine
 
 MATCH_SCHEMA = (
     "doc_id string, edge_seq int, edge_id long, elapsed_time double, "
-    "n_pts int, n_points int, n_unmatched int"
+    "n_pts int, n_points int, n_unmatched int, t0 double"
 )
 
 
@@ -85,7 +85,12 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
 
     n_unmatched = sum(1 for p in pts if not p[3])
     n_points = len(pts)
-    cols = ["doc_id", "edge_seq", "edge_id", "elapsed_time", "n_pts", "n_points", "n_unmatched"]
+    # t0 (doc start epoch) rides along so measurement derivation can place
+    # each traversal in absolute time (per-hour dimension)
+    cols = [
+        "doc_id", "edge_seq", "edge_id", "elapsed_time",
+        "n_pts", "n_points", "n_unmatched", "t0",
+    ]
     if n_points == 0:
         return pd.DataFrame(columns=cols)
     t0 = pts[0][0]
@@ -187,7 +192,7 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
         if cur_edge is None or eid != cur_edge:
             if cur_edge is not None:
                 end_t = boundary_time(cur_last_c, cur_last_pi, c, p_i)
-                out.append((doc_id, seq, cur_edge, end_t - t0, cur_n, n_points, n_unmatched))
+                out.append((doc_id, seq, cur_edge, end_t - t0, cur_n, n_points, n_unmatched, t0))
                 seq += 1
             cur_edge, cur_n = eid, 0
         cur_n += 1
@@ -195,7 +200,7 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
         cur_last_pi = p_i
         cur_last_c = c
     if cur_edge is not None:
-        out.append((doc_id, seq, cur_edge, cur_last_t - t0, cur_n, n_points, n_unmatched))
+        out.append((doc_id, seq, cur_edge, cur_last_t - t0, cur_n, n_points, n_unmatched, t0))
 
     return pd.DataFrame(out, columns=cols)
 
@@ -214,7 +219,10 @@ def viterbi_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     ``viterbi_one_doc`` (same candidate order, same first-wins argmax,
     same chain-break semantics); equality is asserted in tests.
     """
-    cols = ["doc_id", "edge_seq", "edge_id", "elapsed_time", "n_pts", "n_points", "n_unmatched"]
+    cols = [
+        "doc_id", "edge_seq", "edge_id", "elapsed_time",
+        "n_pts", "n_points", "n_unmatched", "t0",
+    ]
     if not len(pdf):
         return pd.DataFrame(columns=cols)
 
@@ -422,6 +430,7 @@ def viterbi_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "n_pts": run_npts.astype("int32"),
             "n_points": n_points_per_doc[run_doc].astype("int32"),
             "n_unmatched": n_unmatched_per_doc[run_doc].astype("int32"),
+            "t0": doc_first_time[run_doc],
         }
     )
 

@@ -62,10 +62,21 @@ def derive_measurements(
     keep_seq: bool = False,
 ) -> DataFrame:
     """traversals (matcher output) + edges attrs ->
-    measurements(country, region, density, road_class, type, kph).
+    measurements(country, region, density, road_class, type[, hour], kph).
 
     ``keep_edge_id`` adds (doc_id, edge_id) for accuracy evaluation against
     ground truth; the production fact table omits them (reference D6 shape).
+
+    When the traversals carry ``t0`` (doc start epoch — the matcher emits
+    it), each measurement also gets ``hour`` = UTC hour-of-day at edge
+    ENTRY (t0 + prev elapsed), the north-star per-hour histogram dimension;
+    pass ``extra_keys=["hour"]`` to ``rollup_medians`` to use it.
+
+    The edges join is LEFT so a traversal whose edge_id is missing from the
+    edges table still participates in the M4 abort scan (dt < 0 aborts the
+    doc regardless of attribute availability — an inner join would silently
+    remove the row BEFORE the violation check); rows without attributes
+    can't produce a measurement and are dropped at the end.
     """
     # M1 — unmatched-ratio doc filter
     ok = traversals.where(
@@ -87,6 +98,7 @@ def derive_measurements(
             "roundabout", "sign_cnt", "country", "region",
         ),
         "edge_id",
+        "left",
     )
     j = j.withColumn("dt", F.col("elapsed_time") - F.col("prev_t"))
     j = j.withColumn(
@@ -103,12 +115,20 @@ def derive_measurements(
     kept = j.where(
         (F.col("abort_seq").isNull() | (F.col("edge_seq") < F.col("abort_seq")))
         & (F.col("dt") > 0)  # M5: zero-dt edges skipped (prev via prefix-max)
+        & F.col("length_km").isNotNull()  # attr-less edges emit nothing
     )
 
     # M8-M12 — classification + admin columns
     extra = ["doc_id", "edge_id"] if keep_edge_id else []
     if keep_seq:
         extra.append("edge_seq")
+    hour_cols = []
+    if "t0" in traversals.columns:
+        hour_cols = [
+            F.floor(F.pmod(F.col("t0") + F.col("prev_t"), F.lit(86400.0)) / 3600.0)
+            .cast("int")
+            .alias("hour")
+        ]
     return kept.select(
         *extra,
         "country",
@@ -118,5 +138,6 @@ def derive_measurements(
         .otherwise(F.col("road_class"))
         .alias("road_class"),
         edge_type_col(F.col("use"), F.col("roundabout"), F.col("sign_cnt")).alias("type"),
+        *hour_cols,
         F.col("kph"),
     )

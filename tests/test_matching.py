@@ -179,3 +179,44 @@ def test_viterbi_batch_equals_per_doc(spark, fixture_dir):
     import numpy as np
 
     assert np.allclose(got["elapsed_time"], want["elapsed_time"], atol=1e-9)
+    assert (got["t0"].to_numpy() == want["t0"].to_numpy()).all()
+
+
+def test_derivation_missing_edge_still_aborts(spark, fixture_dir):
+    """An interior traversal whose edge_id is absent from the edges table
+    must still abort the doc on dt<0 (left-join semantics); with dt>0 it is
+    silently skipped but later edges keep producing measurements."""
+    edges_df = spark.read.parquet(f"{fixture_dir}/edges.parquet")
+    e = edges_df.limit(4).collect()
+    ids = [r["edge_id"] for r in e]
+    lens = {r["edge_id"]: r["length_km"] for r in e}
+    schema = (
+        "doc_id string, edge_seq int, edge_id long, elapsed_time double, "
+        "n_pts int, n_points int, n_unmatched int, t0 double"
+    )
+    # dA: missing edge with TIME REGRESSION at seq2 -> only seq1 emits
+    # dB: missing edge with normal dt at seq2 -> seq1 and seq3 emit
+    rows = [
+        ("dA", 0, ids[0], 10.0, 3, 100, 0, 1.6e9),
+        ("dA", 1, ids[1], 15.0, 3, 100, 0, 1.6e9),
+        ("dA", 2, 999_999_999, 5.0, 3, 100, 0, 1.6e9),
+        ("dA", 3, ids[2], 20.0, 3, 100, 0, 1.6e9),
+        ("dA", 4, ids[3], 30.0, 3, 100, 0, 1.6e9),
+        ("dB", 0, ids[0], 10.0, 3, 100, 0, 1.6e9),
+        ("dB", 1, ids[1], 15.0, 3, 100, 0, 1.6e9),
+        ("dB", 2, 999_999_999, 20.0, 3, 100, 0, 1.6e9),
+        ("dB", 3, ids[2], 25.0, 3, 100, 0, 1.6e9),
+        ("dB", 4, ids[3], 30.0, 3, 100, 0, 1.6e9),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = derive_measurements(df, edges_df, keep_edge_id=True).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["edge_id"] for r in by_doc["dA"]] == [ids[1]]
+    assert sorted(r["edge_id"] for r in by_doc["dB"]) == sorted([ids[1], ids[2]])
+    # dB seq3: prev_t advanced past the missing edge (prefix max = 20)
+    kph3 = [r["kph"] for r in by_doc["dB"] if r["edge_id"] == ids[2]][0]
+    assert abs(kph3 - lens[ids[2]] / 5.0 * 3600.0) < 1e-9
+    # hour attribution: entry at t0 + prev_t (1.6e9 s -> 12:26:40 UTC)
+    assert all(r["hour"] == 12 for r in by_doc["dA"] + by_doc["dB"])
