@@ -55,7 +55,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
     d = _spatial_dir("/root/testdata/sf0.001")
     docs = load_documents(spark, d)
-    pts = filter_traces(decode_points(docs)).select("doc_id", "offset", "time", "lon", "lat")
+    pts = filter_traces(decode_points(docs)).select(
+        "doc_id", "offset", "gps_idx", "time", "lon", "lat"
+    )
     edges = spark.read.parquet(f"{d}/edges.parquet")
     traversals = match_traces(pts, candidate_edges(pts, edges))
     meas = derive_measurements(traversals, edges)
@@ -454,6 +456,48 @@ def _q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_points(pts, zoom=13)
 
 
+# fixed test ring (diamond over city AA-1's core) for the point-in-polygon
+# query; BOTH the Spark expression and the DuckDB SQL are generated from
+# these literals with the identical IEEE expression tree
+PIP_POLY = [(9.990, 35.000), (10.000, 35.013), (10.010, 35.000), (10.000, 34.987)]
+
+
+def _q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from conflation_spark.operators.tiling import point_in_polygon
+    from conflation_spark.sources.spans import decode_points, load_documents
+
+    pts = decode_points(load_documents(spark, _spatial_dir(sf_dir)))
+    poly = F.array(
+        *[
+            F.struct(F.lit(lo).alias("lon"), F.lit(la).alias("lat"))
+            for lo, la in PIP_POLY
+        ]
+    )
+    inside = pts.where(point_in_polygon(F.col("lon"), F.col("lat"), poly))
+    return inside.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_inside"))
+
+
+def _q_raster_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector: z13 density raster merged into horizontal strips
+    (run-length vectorization) with geographic bounding boxes."""
+    from conflation_spark.operators.tiling import raster_to_runs, rasterize_points
+    from conflation_spark.sources.spans import decode_points, load_documents
+
+    pts = decode_points(load_documents(spark, _spatial_dir(sf_dir)))
+    runs = raster_to_runs(rasterize_points(pts, zoom=13), zoom=13)
+    return runs.select(
+        "y",
+        "x_start",
+        "x_end",
+        "n_cells",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.round(F.col("w_lon") * 1000000).cast("long").alias("w_lon_u"),
+        F.round(F.col("e_lon") * 1000000).cast("long").alias("e_lon_u"),
+        F.round(F.col("n_lat") * 1000000).cast("long").alias("n_lat_u"),
+        F.round(F.col("s_lat") * 1000000).cast("long").alias("s_lat_u"),
+    )
+
+
 def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -500,6 +544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hourly": _q_rollup_hourly,
         "tile_cells": _q_tile_cells,
         "rasterize_density": _q_rasterize,
+        "point_in_polygon": _q_point_in_polygon,
+        "raster_runs": _q_raster_runs,
         # training-data pipeline
         "dedup_exact_groups": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -578,7 +624,76 @@ def oracle_sql() -> dict[str, str]:
     case_pred = "CASE " + " ".join(
         f"WHEN hits_{lg} = {m_expr} THEN '{lg}'" for lg in langs
     ) + " END"
+    # point-in-polygon crossing sum: generated from the same PIP_POLY
+    # literals with the identical IEEE expression tree as the Spark side
+    pip_edges = []
+    for i in range(len(PIP_POLY)):
+        alo, ala = PIP_POLY[i]
+        blo, bla = PIP_POLY[(i + 1) % len(PIP_POLY)]
+        pip_edges.append(
+            f"CASE WHEN (({ala!r} > lat) <> ({bla!r} > lat)) "
+            f"AND (lon < ({blo!r} - {alo!r}) * (lat - {ala!r}) / ({bla!r} - {ala!r}) + {alo!r}) "
+            f"THEN 1 ELSE 0 END"
+        )
+    pip_sum = " + ".join(pip_edges)
     return {
+        "point_in_polygon": f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s
+  FROM read_parquet('{d}/documents.parquet')
+),
+pts AS (
+  -- json input guarded by kind INSIDE the projection: DuckDB may evaluate
+  -- projections before the WHERE and text/media spans carry non-JSON text
+  SELECT doc_id,
+         CAST(json_extract(CASE WHEN s.kind = 'gps' THEN s.text END, '$.lon') AS DOUBLE) AS lon,
+         CAST(json_extract(CASE WHEN s.kind = 'gps' THEN s.text END, '$.lat') AS DOUBLE) AS lat
+  FROM sp WHERE s.kind = 'gps'
+),
+c AS (SELECT doc_id, ({pip_sum}) AS crossings FROM pts)
+SELECT doc_id, count(*) AS n_inside FROM c WHERE crossings % 2 = 1 GROUP BY doc_id
+""",
+        "raster_runs": f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s
+  FROM read_parquet('{d}/documents.parquet')
+),
+pts AS (
+  SELECT CAST(json_extract(s.text, '$.lon') AS DOUBLE) AS lon,
+         CAST(json_extract(s.text, '$.lat') AS DOUBLE) AS lat
+  FROM sp WHERE s.kind = 'gps'
+),
+cgrid AS (
+  SELECT CAST(floor((least(greatest(lon, -179.9999), 179.9999) + 180.0) / 360.0 * 8192.0) AS BIGINT) AS x,
+         CAST(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.0511), 85.0511)))
+                 + sqrt(tan(radians(least(greatest(lat, -85.0511), 85.0511)))
+                        * tan(radians(least(greatest(lat, -85.0511), 85.0511))) + 1.0)) / pi()) / 2.0 * 8192.0) AS BIGINT) AS y
+  FROM pts
+),
+ras AS (SELECT x, y, count(*) AS n FROM cgrid GROUP BY x, y),
+marked AS (
+  SELECT x, y, n,
+         CASE WHEN lag(x) OVER w IS NULL OR x <> lag(x) OVER w + 1 THEN 1 ELSE 0 END AS new_run
+  FROM ras WINDOW w AS (PARTITION BY y ORDER BY x)
+),
+rid AS (
+  SELECT *, sum(new_run) OVER (PARTITION BY y ORDER BY x ROWS UNBOUNDED PRECEDING) AS run
+  FROM marked
+),
+agg AS (
+  SELECT y, run, min(x) AS x_start, max(x) AS x_end,
+         count(*) AS n_cells, CAST(sum(n) AS BIGINT) AS n_points
+  FROM rid GROUP BY y, run
+)
+SELECT y, x_start, x_end, n_cells, n_points,
+  CAST(round((CAST(x_start AS DOUBLE) / 8192.0 * 360.0 - 180.0) * 1000000) AS BIGINT) AS w_lon_u,
+  CAST(round((CAST(x_end + 1 AS DOUBLE) / 8192.0 * 360.0 - 180.0) * 1000000) AS BIGINT) AS e_lon_u,
+  CAST(round(degrees(atan((exp(pi() * (1.0 - 2.0 * CAST(y AS DOUBLE) / 8192.0))
+        - exp(-(pi() * (1.0 - 2.0 * CAST(y AS DOUBLE) / 8192.0)))) / 2.0)) * 1000000) AS BIGINT) AS n_lat_u,
+  CAST(round(degrees(atan((exp(pi() * (1.0 - 2.0 * CAST(y + 1 AS DOUBLE) / 8192.0))
+        - exp(-(pi() * (1.0 - 2.0 * CAST(y + 1 AS DOUBLE) / 8192.0)))) / 2.0)) * 1000000) AS BIGINT) AS s_lat_u
+FROM agg
+""",
         "recency_filter": f"""
 WITH sp AS (
   SELECT doc_id, unnest(spans) AS s

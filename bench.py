@@ -53,6 +53,16 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = 
         spark.range(cpus * 4).withColumn("g", F_mod_id()).groupBy("g").applyInPandas(
             lambda p: p.iloc[:1], schema="id long, g long"
         ).count()
+        # ...and the C2-JIT / codegen / Arrow-writer paths of the REAL
+        # operators: one throwaway pipeline at sf0.001 (~3 s). A fresh JVM
+        # otherwise pays ~1 min of first-execution compilation inside the
+        # timed sf1 run — fixed cost, not engine throughput (a cluster job
+        # amortizes it over hours).
+        warm_work = tempfile.mkdtemp(prefix="bench_warm_")
+        try:
+            run_pipeline(spark, ensure_fixture("sf0.001"), warm_work, resume=False)
+        finally:
+            shutil.rmtree(warm_work, ignore_errors=True)
 
         t0 = time.time()
         counts = run_pipeline(spark, fixture, work, resume=False)
@@ -63,6 +73,10 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = 
 
         for st in STAGES:
             queries[f"stage_{st}_write_s"] = read_lineage(work, st)["write_seconds"]
+        rc = os.path.join(work, "lineage", "rollup_config.json")
+        if os.path.exists(rc):
+            with open(rc) as f:
+                queries["stage_rollup_config_s"] = json.load(f)["seconds"]
 
         # operator queries (driver tables at sf_dir + spatial fixture)
         if not pipeline_only:

@@ -42,6 +42,7 @@ def candidate_edges(
     broadcast_edges: bool = True,
     rank: bool = False,
     hot_cell_threshold: int = 100_000,
+    range_partition: int | None = None,
 ) -> DataFrame:
     """points(doc_id, offset, time, lon, lat) x edges(edge_id, src, dst,
     lon1, lat1, lon2, lat2, ...) -> up to k candidates per point:
@@ -53,7 +54,18 @@ def candidate_edges(
     from the edge's (lon1,lat1) endpoint) — the Viterbi stage uses it for
     along-edge route distances.
     """
-    pc = with_point_cell(points.select("doc_id", "offset", "time", "lon", "lat"), zoom)
+    # gps_idx (dense per-doc point index from filter_traces) rides along so
+    # the matcher can run off candidates alone (missing points = idx gaps)
+    extra = [c for c in ("gps_idx",) if c in points.columns]
+    pc = with_point_cell(points.select("doc_id", "offset", "time", "lon", "lat", *extra), zoom)
+    if range_partition:
+        # continental-scale locality knob (north_star: explicit
+        # repartitionByRange on cells before the trace-to-edge join):
+        # range-partitioning keeps geographically neighboring cells in the
+        # same partition, so the shuffled cell join and any downstream
+        # per-tile pass read contiguous tile ranges instead of hashing the
+        # planet across every partition.
+        pc = pc.repartitionByRange(range_partition, "cell")
     ec = edge_covering_cells(
         edges.select("edge_id", "src", "dst", "lon1", "lat1", "lon2", "lat2"),
         zoom,
@@ -95,7 +107,7 @@ def candidate_edges(
         .withColumn("dist_m", dist)
         .where(F.col("dist_m") <= radius_m)
         .select(
-            "doc_id", "offset", "time", "lon", "lat",
+            "doc_id", "offset", "time", "lon", "lat", *extra,
             "edge_id", "src", "dst", "dist_m", "t_param", "len_m",
         )
     )

@@ -8,15 +8,20 @@ HMM (emission ~ Gaussian GPS noise on point-to-edge distance; transition ~
 agreement between route distance and great-circle distance), with parameters
 fixed and documented here so the pure-Python test oracle can share them.
 
-Execution shape: one ``applyInPandas`` group per ``doc_id`` over the
-candidate rows from ``operators.candidates`` (Arrow-batched; numpy Viterbi
-inside — never per-row Python). Docs are bounded (~10^2 points x <=k
-candidates), so doc-level grouping is skew-safe even when urban cells are
-hot: the skew lives in the *candidate join* (handled by AQE/broadcast),
-not here.
+Execution shape (single-shuffle): the matcher consumes ONLY the candidate
+rows (which already carry each point's time/lon/lat) — one repartition by
+doc_id + sortWithinPartitions + mapInPandas. Points with no candidate
+within the search radius never appear in the candidate set; the kernels
+detect them as GAPS in ``gps_idx`` (the dense per-doc point index the
+trace filter emits for free from its ordered window). That removes the
+round-1 left join of the full points table back onto candidates — i.e. a
+second full shuffle plus a sort-merge join of the pipeline's largest
+intermediate. Per-doc stats (t0, n_points) come from a map-side-combined
+aggregation of the points table (tiny shuffle) joined onto the traversal
+rows (small) after matching.
 
 Output: one row per matched edge traversal —
-  (doc_id, edge_seq, edge_id, elapsed_time, n_pts, n_points, n_unmatched)
+  (doc_id, edge_seq, edge_id, elapsed_time, n_pts, n_points, n_unmatched, t0)
 where ``elapsed_time`` is the doc-elapsed seconds at the LAST point matched
 to the traversal (our analog of Valhalla's ``end_node.elapsed_time``,
 consumed at valhalla.py:180), and n_points/n_unmatched feed the M1
@@ -43,6 +48,12 @@ MATCH_SCHEMA = (
     "doc_id string, edge_seq int, edge_id long, elapsed_time double, "
     "n_pts int, n_points int, n_unmatched int, t0 double"
 )
+# kernel-internal schema: absolute end times + present-point counts; the
+# doc-level (t0, n_points) join in match_traces converts to MATCH_SCHEMA
+RUN_SCHEMA = (
+    "doc_id string, edge_seq int, edge_id long, end_time double, "
+    "n_pts int, n_present int"
+)
 
 
 def _haversine_np(lon1, lat1, lon2, lat2):
@@ -56,17 +67,23 @@ def _haversine_np(lon1, lat1, lon2, lat2):
 
 def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
     """Pure function (shared with the test oracle): candidate rows of one doc
-    -> traversal rows. Takes top-k candidates per point here (numpy) so the
-    upstream join needs no per-point window shuffle. Deterministic: ties
-    broken by (dist_m, edge_id); first-wins argmax."""
-    doc_id = pdf["doc_id"].iloc[0]
-    pdf = pdf.sort_values(["offset", "dist_m", "edge_id"], kind="mergesort")
+    -> traversal runs (RUN_SCHEMA columns). Takes top-k candidates per point
+    here (numpy) so the upstream join needs no per-point window shuffle.
+    Deterministic: ties broken by (dist_m, edge_id); first-wins argmax.
 
-    offsets = pdf["offset"].to_numpy()
+    Input carries ONLY points that have >=1 candidate; an unmatched point
+    shows up as a gps_idx gap, which breaks the Viterbi chain exactly like
+    the explicit candidate-less row used to."""
+    cols0 = ["doc_id", "edge_seq", "edge_id", "end_time", "n_pts", "n_present"]
+    if not len(pdf):  # a doc whose every point is unmatched has no rows
+        return pd.DataFrame(columns=cols0)
+    doc_id = pdf["doc_id"].iloc[0]
+    pdf = pdf.sort_values(["gps_idx", "dist_m", "edge_id"], kind="mergesort")
+
+    gidxs = pdf["gps_idx"].to_numpy()
     times = pdf["time"].to_numpy()
     lons = pdf["lon"].to_numpy()
     lats = pdf["lat"].to_numpy()
-    has_cand = pdf["edge_id"].notna().to_numpy()
     e_id = pdf["edge_id"].to_numpy(dtype="float64", na_value=np.nan)
     e_src = pdf["src"].to_numpy(dtype="float64", na_value=np.nan)
     e_dst = pdf["dst"].to_numpy(dtype="float64", na_value=np.nan)
@@ -74,28 +91,20 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
     e_t = pdf["t_param"].to_numpy(dtype="float64", na_value=np.nan)
     e_len = pdf["len_m"].to_numpy(dtype="float64", na_value=np.nan)
 
-    # split row range into per-point slices (offsets are sorted)
-    uniq_off, starts = np.unique(offsets, return_index=True)
-    bounds = np.append(starts, len(offsets))
-    pts = []  # (time, lon, lat, candidate row indices [top-k])
-    for i in range(len(uniq_off)):
+    # split row range into per-point slices (gps_idx values are sorted)
+    uniq_g, starts = np.unique(gidxs, return_index=True)
+    bounds = np.append(starts, len(gidxs))
+    pts = []  # (gps_idx, time, lon, lat, candidate row indices [top-k])
+    for i in range(len(uniq_g)):
         s, e = bounds[i], bounds[i + 1]
-        rows = [j for j in range(s, e) if has_cand[j]][:k]
-        pts.append((times[s], lons[s], lats[s], rows))
+        pts.append((int(gidxs[s]), times[s], lons[s], lats[s], list(range(s, e))[:k]))
 
-    n_unmatched = sum(1 for p in pts if not p[3])
-    n_points = len(pts)
-    # t0 (doc start epoch) rides along so measurement derivation can place
-    # each traversal in absolute time (per-hour dimension)
-    cols = [
-        "doc_id", "edge_seq", "edge_id", "elapsed_time",
-        "n_pts", "n_points", "n_unmatched", "t0",
-    ]
-    if n_points == 0:
+    n_present = len(pts)
+    cols = ["doc_id", "edge_seq", "edge_id", "end_time", "n_pts", "n_present"]
+    if n_present == 0:
         return pd.DataFrame(columns=cols)
-    t0 = pts[0][0]
 
-    matched = [None] * n_points  # per point: candidate row index or None
+    matched = [None] * n_present  # per point: candidate row index
     chain: list[int] = []
     prev_scores = None
     prev_back: list[np.ndarray] = []
@@ -109,13 +118,13 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
             sel.append(int(b[sel[-1]]))
         sel.reverse()
         for p_i, c_i in zip(chain_pts, sel):
-            matched[p_i] = pts[p_i][3][c_i]
+            matched[p_i] = pts[p_i][4][c_i]
 
-    for p_i, (t, lon, lat, cands) in enumerate(pts):
-        if not cands:
+    for p_i, (g, t, lon, lat, cands) in enumerate(pts):
+        # a gps_idx gap = one or more unmatched points -> chain break
+        if chain and g != pts[chain[-1]][0] + 1:
             flush(chain, prev_scores, prev_back)
             chain, prev_scores, prev_back = [], None, []
-            continue
         ci = np.asarray(cands)
         emis = -0.5 * (e_dist[ci] / SIGMA_M) ** 2
         if prev_scores is None:
@@ -124,8 +133,8 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
             prev_back = []
             continue
         q_i = chain[-1]
-        gc = _haversine_np(pts[q_i][1], pts[q_i][2], lon, lat)
-        pc = np.asarray(pts[q_i][3])
+        gc = _haversine_np(pts[q_i][2], pts[q_i][3], lon, lat)
+        pc = np.asarray(pts[q_i][4])
         # vectorized route-distance matrix over (prev cands x cur cands)
         ida, sa, da = e_id[pc, None], e_src[pc, None], e_dst[pc, None]
         ta, la = e_t[pc, None], e_len[pc, None]
@@ -162,9 +171,9 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
     # using the matched t_params — Valhalla-style). Fallbacks: samples'
     # midpoint when no shared node; last sample at chain ends / gaps.
     def boundary_time(c_last, p_last, c_next, p_next):
-        if p_next != p_last + 1:
-            return pts[p_last][0]
-        tau_a, tau_b = pts[p_last][0], pts[p_next][0]
+        if pts[p_next][0] != pts[p_last][0] + 1:  # gps_idx adjacency
+            return pts[p_last][1]
+        tau_a, tau_b = pts[p_last][1], pts[p_next][1]
         ta, la = e_t[c_last], e_len[c_last]
         tb, lb = e_t[c_next], e_len[c_next]
         if e_dst[c_last] == e_src[c_next]:
@@ -184,7 +193,7 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
     out = []
     cur_edge, cur_n, cur_last_t, cur_last_pi, cur_last_c = None, 0, None, None, None
     seq = 0
-    for p_i in range(n_points):
+    for p_i in range(n_present):
         c = matched[p_i]
         eid = None if c is None else int(e_id[c])
         if eid is None:
@@ -192,15 +201,15 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
         if cur_edge is None or eid != cur_edge:
             if cur_edge is not None:
                 end_t = boundary_time(cur_last_c, cur_last_pi, c, p_i)
-                out.append((doc_id, seq, cur_edge, end_t - t0, cur_n, n_points, n_unmatched, t0))
+                out.append((doc_id, seq, cur_edge, end_t, cur_n, n_present))
                 seq += 1
             cur_edge, cur_n = eid, 0
         cur_n += 1
-        cur_last_t = pts[p_i][0]
+        cur_last_t = pts[p_i][1]
         cur_last_pi = p_i
         cur_last_c = c
     if cur_edge is not None:
-        out.append((doc_id, seq, cur_edge, cur_last_t - t0, cur_n, n_points, n_unmatched, t0))
+        out.append((doc_id, seq, cur_edge, cur_last_t, cur_n, n_present))
 
     return pd.DataFrame(out, columns=cols)
 
@@ -219,15 +228,12 @@ def viterbi_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     ``viterbi_one_doc`` (same candidate order, same first-wins argmax,
     same chain-break semantics); equality is asserted in tests.
     """
-    cols = [
-        "doc_id", "edge_seq", "edge_id", "elapsed_time",
-        "n_pts", "n_points", "n_unmatched", "t0",
-    ]
+    cols = ["doc_id", "edge_seq", "edge_id", "end_time", "n_pts", "n_present"]
     if not len(pdf):
         return pd.DataFrame(columns=cols)
 
     doc_codes, doc_uniques = pd.factorize(pdf["doc_id"], sort=False)
-    offsets = pdf["offset"].to_numpy()
+    offsets = pdf["gps_idx"].to_numpy()
     times = pdf["time"].to_numpy(dtype="float64")
     lons = pdf["lon"].to_numpy(dtype="float64")
     lats = pdf["lat"].to_numpy(dtype="float64")
@@ -251,6 +257,7 @@ def viterbi_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
     # per-point arrays (from each point's first row)
     p_doc = doc_codes[point_start]
+    p_gidx = offsets[point_start]  # gps_idx per present point
     p_time = times[point_start]
     p_lon = lons[point_start]
     p_lat = lats[point_start]
@@ -331,7 +338,16 @@ def viterbi_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         matched_slot[chain_start] = best
 
     for p in range(P):
-        broke = p == 0 or p_doc[p] != p_doc[p - 1] or not p_has[p] or not p_has[p - 1]
+        # break on doc change, a gps_idx gap (unmatched points in between),
+        # or a degenerate candidate-less point (can't occur in the
+        # candidates-only input, kept for robustness)
+        broke = (
+            p == 0
+            or p_doc[p] != p_doc[p - 1]
+            or p_gidx[p] != p_gidx[p - 1] + 1
+            or not p_has[p]
+            or not p_has[p - 1]
+        )
         if not p_has[p]:
             flush(p - 1)
             chain_start, scores = -1, None
@@ -350,16 +366,7 @@ def viterbi_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     # vectorized collapse of consecutive same-edge points into traversals
     sel = matched_slot >= 0
     m_edge = np.where(sel, c_id[np.arange(P), np.clip(matched_slot, 0, None)], np.nan)
-    # per-doc stats
-    n_points_per_doc = np.bincount(p_doc, minlength=len(doc_uniques))
-    n_unmatched_per_doc = np.bincount(p_doc[~p_has], minlength=len(doc_uniques))
-    doc_first_time = np.full(len(doc_uniques), np.nan)
-    first_point_of_doc = np.empty(0, dtype=np.int64)
-    newd = np.empty(P, dtype=bool)
-    newd[0] = True
-    newd[1:] = p_doc[1:] != p_doc[:-1]
-    first_point_of_doc = np.flatnonzero(newd)
-    doc_first_time[p_doc[first_point_of_doc]] = p_time[first_point_of_doc]
+    n_present_per_doc = np.bincount(p_doc, minlength=len(doc_uniques))
 
     mp = np.flatnonzero(sel)  # matched points in order
     if not len(mp):
@@ -386,7 +393,11 @@ def viterbi_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     if R > 1:
         np_first = mp[run_start[1:]]
         tp_last = mp[run_end[:-1]]
-        contiguous = (np_first == tp_last + 1) & (p_doc[np_first] == p_doc[tp_last])
+        # adjacency = consecutive gps_idx within the same doc (an absent
+        # index in between means an unmatched point separated the samples)
+        contiguous = (p_gidx[np_first] == p_gidx[tp_last] + 1) & (
+            p_doc[np_first] == p_doc[tp_last]
+        )
         sa_ = matched_slot[tp_last]
         sb_ = matched_slot[np_first]
         ta = c_t[tp_last, sa_]
@@ -426,18 +437,16 @@ def viterbi_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "doc_id": doc_uniques[run_doc],
             "edge_seq": edge_seq.astype("int32"),
             "edge_id": run_edge,
-            "elapsed_time": run_last_time - doc_first_time[run_doc],
+            "end_time": run_last_time,
             "n_pts": run_npts.astype("int32"),
-            "n_points": n_points_per_doc[run_doc].astype("int32"),
-            "n_unmatched": n_unmatched_per_doc[run_doc].astype("int32"),
-            "t0": doc_first_time[run_doc],
+            "n_present": n_present_per_doc[run_doc].astype("int32"),
         }
     )
 
 
 def _viterbi_partition(batches):
     """mapInPandas kernel: rows arrive repartitioned by doc_id and sorted by
-    (doc_id, offset, dist_m, edge_id); the batch-vectorized Viterbi runs
+    (doc_id, gps_idx, dist_m, edge_id); the batch-vectorized Viterbi runs
     over each ~10k-row Arrow batch (one call per batch, not per doc).
 
     A doc can straddle two Arrow batches of the same partition, so the last
@@ -463,28 +472,63 @@ def _viterbi_partition(batches):
             yield out
 
 
+def with_gps_index(points: DataFrame) -> DataFrame:
+    """Dense 0-based per-doc point index, ordered by offset. filter_traces
+    emits this for free inside its existing window pass; use this helper
+    only when feeding the matcher from raw (unfiltered) points."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return points.withColumn("gps_idx", (F.row_number().over(w) - 1).cast("int"))
+
+
 def match_traces(
     points: DataFrame, candidates: DataFrame, num_partitions: int | None = None
 ) -> DataFrame:
     """points + candidate rows -> traversal rows (MATCH_SCHEMA).
 
-    Points with no candidate row are re-attached (left join) so the matcher
-    sees them as 'unmatched' — they count toward the M1 ratio and break the
-    Viterbi chain, exactly like Valhalla's unmatched matched_points.
+    SINGLE-shuffle physical shape: only the candidate rows (which already
+    carry each point's time/lon/lat and gps_idx) are repartitioned by
+    doc_id, sorted in-partition, and streamed through the Viterbi
+    mapInPandas. A point with no candidate within the search radius is a
+    gps_idx GAP — it breaks the Viterbi chain and counts toward the M1
+    unmatched ratio exactly like Valhalla's unmatched matched_points — so
+    the full points table never has to be joined back onto the candidates
+    (the round-1 form paid a second full shuffle + a sort-merge join of the
+    pipeline's largest intermediate for that).
 
-    Physical shape: one shuffle (repartition by doc_id, co-locating each
-    doc), sortWithinPartitions (no extra shuffle), then a single
-    mapInPandas pass. Doc sizes are bounded (~10^2 points), so hash
-    partitioning by doc_id is skew-safe even with hot urban cells.
+    ``points`` is consumed only for per-doc stats (t0 = first point time,
+    n_points): a map-side-combined aggregation whose shuffle is one row per
+    doc, joined onto the (small) traversal output — broadcast at bench
+    scale, an ordinary small join beyond ``autoBroadcastJoinThreshold``.
+    Doc sizes are bounded (~10^2 points), so hash partitioning by doc_id is
+    skew-safe even with hot urban cells.
     """
-    base = points.select("doc_id", "offset", "time", "lon", "lat")
-    cand = candidates.select(
-        "doc_id", "offset", "edge_id", "src", "dst", "dist_m", "t_param", "len_m"
-    )
-    full = base.join(cand, ["doc_id", "offset"], "left")
+    if "gps_idx" not in candidates.columns:
+        raise ValueError(
+            "candidates must carry gps_idx — build them from filter_traces "
+            "output or matching.with_gps_index(points)"
+        )
     spark = points.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
-    arranged = full.repartition(p, "doc_id").sortWithinPartitions(
-        "doc_id", "offset", "dist_m", "edge_id"
+    cand = candidates.select(
+        "doc_id", "gps_idx", "time", "lon", "lat",
+        "edge_id", "src", "dst", "dist_m", "t_param", "len_m",
+    ).repartition(p, "doc_id")
+    arranged = cand.sortWithinPartitions("doc_id", "gps_idx", "dist_m", "edge_id")
+    runs = arranged.mapInPandas(_viterbi_partition, schema=RUN_SCHEMA)
+    meta = points.groupBy("doc_id").agg(
+        F.min_by("time", "offset").alias("t0"),
+        F.count(F.lit(1)).cast("int").alias("n_points"),
     )
-    return arranged.mapInPandas(_viterbi_partition, schema=MATCH_SCHEMA)
+    out = runs.join(meta, "doc_id")  # AQE broadcasts the per-doc side
+    return out.select(
+        "doc_id",
+        "edge_seq",
+        "edge_id",
+        (F.col("end_time") - F.col("t0")).alias("elapsed_time"),
+        "n_pts",
+        "n_points",
+        (F.col("n_points") - F.col("n_present")).cast("int").alias("n_unmatched"),
+        "t0",
+    )

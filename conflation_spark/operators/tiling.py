@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MAX_LAT = 85.0511  # mapillary.py:758-763
@@ -174,6 +174,40 @@ def vectorize_cells(raster: DataFrame, zoom: int = DEFAULT_ZOOM) -> DataFrame:
     return raster.withColumn(
         "polygon",
         F.array(pt(w_lon, n_lat), pt(e_lon, n_lat), pt(e_lon, s_lat), pt(w_lon, s_lat)),
+    )
+
+
+def raster_to_runs(raster: DataFrame, zoom: int = DEFAULT_ZOOM) -> DataFrame:
+    """Raster -> vector, run-length form: merge horizontally adjacent cells
+    of each raster row into strips and emit their geographic bounding boxes
+    (y, x_start, x_end, n_cells, n_points, w_lon, e_lon, n_lat, s_lat).
+
+    One window pass (lag over x within y) + one aggregation — the classic
+    run-length vectorization, entirely in SQL window functions. Strips are
+    the building block for polygonization/dissolve passes downstream.
+    """
+    w = Window.partitionBy("y").orderBy("x")
+    runs = (
+        raster.withColumn("_px", F.lag("x").over(w))
+        .withColumn("_new", F.when(F.col("_px").isNull() | (F.col("x") != F.col("_px") + 1), 1).otherwise(0))
+        .withColumn("run", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    agg = runs.groupBy("y", "run").agg(
+        F.min("x").alias("x_start"),
+        F.max("x").alias("x_end"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_points").alias("n_points"),
+    )
+    return agg.select(
+        "y",
+        "x_start",
+        "x_end",
+        "n_cells",
+        "n_points",
+        tile_nw_lon(F.col("x_start"), zoom).alias("w_lon"),
+        tile_nw_lon(F.col("x_end") + 1, zoom).alias("e_lon"),
+        tile_nw_lat(F.col("y"), zoom).alias("n_lat"),
+        tile_nw_lat(F.col("y") + 1, zoom).alias("s_lat"),
     )
 
 

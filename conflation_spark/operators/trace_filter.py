@@ -112,7 +112,14 @@ def accepted_doc_ids(points: DataFrame, min_points: int | None = None) -> DataFr
 
 
 def filter_traces(points: DataFrame, min_points: int | None = None) -> DataFrame:
-    """points -> points of accepted docs only.
+    """points -> points of accepted docs only, plus ``gps_idx`` (0-based
+    dense index of the point within its doc, ordered by offset).
+
+    ``gps_idx`` costs nothing here (the ordered window already exists) and
+    is what lets the matcher run with a SINGLE shuffle: downstream, a point
+    missing from the candidate set is detected as a gps_idx gap instead of
+    by left-joining the full points table back in (see
+    ``matching.match_traces``).
 
     Physical shape: ONE hash shuffle on doc_id serves both the ordered lag
     window (pair deltas) and the whole-partition aggregate windows (per-doc
@@ -141,6 +148,7 @@ def filter_traces(points: DataFrame, min_points: int | None = None) -> DataFrame
     pair_v = F.when(nonzero, v)
 
     df = points.withColumn("_ttime", F.last("time").over(w_full) - F.first("time").over(w_full))
+    df = df.withColumn("gps_idx", (F.row_number().over(w_ord) - 1).cast("int"))
     df = (
         df.withColumn("_n", F.count(F.lit(1)).over(w_all))
         .withColumn("_dist", F.coalesce(F.sum(pair_d).over(w_all), F.lit(0.0)))

@@ -45,24 +45,27 @@ def _write_stage(
     t0 = time.time()
     df.write.mode("overwrite").parquet(path)
     elapsed = time.time() - t0
-    # per-partition lineage + metrics from the parquet footers
+    # per-partition lineage + metrics from the parquet footers. Footer reads
+    # are tiny but latency-bound; harvest them with a thread pool so the
+    # driver-serial slice of each stage barrier stays O(ms) as partition
+    # counts grow (round-1 walked them one by one).
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    parts = []
-    total_rows = 0
-    for fn in sorted(os.listdir(path)):
-        if not fn.endswith(".parquet"):
-            continue
+    def _part_meta(fn: str) -> dict:
         f = pq.ParquetFile(os.path.join(path, fn))
-        parts.append(
-            {
-                "file": fn,
-                "rows": f.metadata.num_rows,
-                "bytes": os.path.getsize(os.path.join(path, fn)),
-                "row_groups": f.metadata.num_row_groups,
-            }
-        )
-        total_rows += f.metadata.num_rows
+        return {
+            "file": fn,
+            "rows": f.metadata.num_rows,
+            "bytes": os.path.getsize(os.path.join(path, fn)),
+            "row_groups": f.metadata.num_row_groups,
+        }
+
+    files = sorted(fn for fn in os.listdir(path) if fn.endswith(".parquet"))
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(files)))) as pool:
+        parts = list(pool.map(_part_meta, files))
+    total_rows = sum(p["rows"] for p in parts)
     part_rows = [p["rows"] for p in parts] or [0]
     manifest = {
         "stage": stage,
@@ -157,7 +160,8 @@ def run_pipeline(
             return counts
     else:
         # only the matcher consumes this checkpoint: drop media_ref/radius
-        # before the filter's doc_id shuffle (~40% fewer shuffle bytes)
+        # before the filter's doc_id shuffle (~40% fewer shuffle bytes);
+        # filter_traces adds gps_idx, the matcher's single-shuffle key
         points = decode_points(docs).select("doc_id", "offset", "time", "lon", "lat")
         points_input = f"{input_dir}/documents.parquet"
 
@@ -185,8 +189,12 @@ def run_pipeline(
     # final rollup + config (aggregation.py:81-85 skip-if-done analog)
     config_path = os.path.join(work_dir, "results", "config.json")
     if not (resume and os.path.exists(config_path)):
+        t0 = time.time()
         rollup_rows = [r.asDict() for r in rollup_medians(measurements).collect()]
         configs = rollup_to_configs(rollup_rows)
         write_config(configs, os.path.join(work_dir, "results"))
+        os.makedirs(os.path.join(work_dir, "lineage"), exist_ok=True)
+        with open(os.path.join(work_dir, "lineage", "rollup_config.json"), "w") as f:
+            json.dump({"seconds": round(time.time() - t0, 3)}, f)
     counts["config"] = 1
     return counts

@@ -55,6 +55,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # accept children partitioned on a SUBSET of the join keys as
+        # co-partitioned: the matcher pre-partitions points+candidates by
+        # doc_id so the (doc_id, offset) sort-merge join — and the
+        # mapInPandas stage after it — reuse that partitioning instead of
+        # re-shuffling the pipeline's largest intermediate
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # local fixtures are small single files; split scans at row-group
         # granularity so map-side stages use every core (on a real cluster
         # with TB-scale multi-file tables the 128m default is fine)

@@ -77,7 +77,9 @@ def test_unmatched_counting(spark, fixture_dir):
         [("dx", spans)],
         "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
     )
-    pts = decode_points(docs)
+    from conflation_spark.operators.matching import with_gps_index
+
+    pts = with_gps_index(decode_points(docs))
     edges = spark.read.parquet(f"{fixture_dir}/edges.parquet")
     cand = candidate_edges(pts, edges)
     trav = match_traces(pts, cand)
@@ -154,15 +156,12 @@ def test_viterbi_batch_equals_per_doc(spark, fixture_dir):
     docs = load_documents(spark, fixture_dir)
     pts = filter_traces(decode_points(docs))
     edges = spark.read.parquet(f"{fixture_dir}/edges.parquet")
-    cand = candidate_edges(pts, edges)
-    base = pts.select("doc_id", "offset", "time", "lon", "lat")
-    full = base.join(
-        cand.select("doc_id", "offset", "edge_id", "src", "dst", "dist_m", "t_param", "len_m"),
-        ["doc_id", "offset"],
-        "left",
+    cand = candidate_edges(pts, edges).select(
+        "doc_id", "gps_idx", "time", "lon", "lat",
+        "edge_id", "src", "dst", "dist_m", "t_param", "len_m",
     )
-    pdf = full.toPandas().sort_values(
-        ["doc_id", "offset", "dist_m", "edge_id"], kind="mergesort"
+    pdf = cand.toPandas().sort_values(
+        ["doc_id", "gps_idx", "dist_m", "edge_id"], kind="mergesort"
     ).reset_index(drop=True)
 
     got = viterbi_batch(pdf)
@@ -174,12 +173,11 @@ def test_viterbi_batch_equals_per_doc(spark, fixture_dir):
     got = got.sort_values(key).reset_index(drop=True)
     want = want.sort_values(key).reset_index(drop=True)
     assert len(got) == len(want)
-    for c in ["doc_id", "edge_seq", "edge_id", "n_pts", "n_points", "n_unmatched"]:
+    for c in ["doc_id", "edge_seq", "edge_id", "n_pts", "n_present"]:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     import numpy as np
 
-    assert np.allclose(got["elapsed_time"], want["elapsed_time"], atol=1e-9)
-    assert (got["t0"].to_numpy() == want["t0"].to_numpy()).all()
+    assert np.allclose(got["end_time"], want["end_time"], atol=1e-9)
 
 
 def test_derivation_missing_edge_still_aborts(spark, fixture_dir):

@@ -61,36 +61,35 @@ def test_interp_extrap_invariants(way, lex, ltu, rab):
 
 @st.composite
 def candidate_frames(draw):
-    """Random multi-doc candidate frames shaped like the matcher input."""
+    """Random multi-doc candidate frames shaped like the matcher input:
+    candidates-only rows with gps_idx gaps standing in for unmatched
+    points (the single-shuffle contract)."""
     rng = np.random.default_rng(draw(st.integers(0, 2**31)))
     n_docs = draw(st.integers(1, 4))
     rows = []
     for d in range(n_docs):
         n_pts = draw(st.integers(1, 15))
         t = 0.0
-        for off in range(n_pts):
+        for gidx in range(n_pts):
             t += float(rng.uniform(0.5, 4.0))
-            lon = 10.0 + off * 4e-4 + rng.normal(0, 1e-5)
+            lon = 10.0 + gidx * 4e-4 + rng.normal(0, 1e-5)
             lat = 35.0 + rng.normal(0, 1e-5)
-            n_cand = int(rng.integers(0, 4))  # 0 => unmatched point
-            if n_cand == 0:
-                rows.append((f"d{d}", off, t, lon, lat,
-                             None, None, None, None, None, None))
+            n_cand = int(rng.integers(0, 4))  # 0 => unmatched => idx gap
             for c in range(n_cand):
                 eid = int(rng.integers(0, 6))
                 rows.append((
-                    f"d{d}", off, t, lon, lat,
+                    f"d{d}", gidx, t, lon, lat,
                     float(eid), float(eid), float(eid + 1),
                     float(rng.uniform(0, 30)), float(rng.uniform(0, 1)),
                     float(rng.uniform(50, 300)),
                 ))
     pdf = pd.DataFrame(
         rows,
-        columns=["doc_id", "offset", "time", "lon", "lat",
+        columns=["doc_id", "gps_idx", "time", "lon", "lat",
                  "edge_id", "src", "dst", "dist_m", "t_param", "len_m"],
     )
     return pdf.sort_values(
-        ["doc_id", "offset", "dist_m", "edge_id"], kind="mergesort"
+        ["doc_id", "gps_idx", "dist_m", "edge_id"], kind="mergesort"
     ).reset_index(drop=True)
 
 
@@ -104,10 +103,10 @@ def test_viterbi_batch_equals_per_doc_fuzz(pdf):
         ignore_index=True,
     ).sort_values(["doc_id", "edge_seq"]).reset_index(drop=True)
     assert len(got) == len(want)
-    for c in ["doc_id", "edge_seq", "edge_id", "n_pts", "n_points", "n_unmatched"]:
+    for c in ["doc_id", "edge_seq", "edge_id", "n_pts", "n_present"]:
         assert list(got[c]) == list(want[c]), c
     assert np.allclose(
-        got["elapsed_time"].to_numpy(dtype=float),
-        want["elapsed_time"].to_numpy(dtype=float),
+        got["end_time"].to_numpy(dtype=float),
+        want["end_time"].to_numpy(dtype=float),
         atol=1e-9,
     )

@@ -181,3 +181,63 @@ def test_cell_parent_consistency(spark, fixture_dir):
     ).withColumn("parent", tiling.cell_parent(F.col("c16"), 16, 5))
     bad = df.where(F.col("parent") != F.col("c5")).count()
     assert bad == 0
+
+
+def test_point_in_polygon_matches_raycaster(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from conflation_spark.operators.tiling import point_in_polygon
+
+    poly = [(0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (2.0, 5.0), (0.0, 3.0)]
+    rng = np.random.default_rng(5)
+    pts = [(float(x), float(y)) for x, y in rng.uniform(-1, 6, size=(300, 2))]
+
+    def inside_py(px, py):
+        n, c = len(poly), False
+        for i in range(n):
+            ax, ay = poly[i]
+            bx, by = poly[(i + 1) % n]
+            if (ay > py) != (by > py) and px < (bx - ax) * (py - ay) / (by - ay) + ax:
+                c = not c
+        return c
+
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    pcol = F.array(*[F.struct(F.lit(a).alias("lon"), F.lit(b).alias("lat")) for a, b in poly])
+    got = {
+        (r["lon"], r["lat"]): r["in_poly"]
+        for r in df.withColumn("in_poly", point_in_polygon(F.col("lon"), F.col("lat"), pcol)).collect()
+    }
+    want = {(x, y): inside_py(x, y) for x, y in pts}
+    assert got == want
+    assert sum(want.values()) > 50  # polygon actually contains points
+
+
+def test_raster_to_runs_merges_adjacent_cells(spark):
+    from conflation_spark.operators.tiling import raster_to_runs
+
+    # row y=10: cells x=3,4,5 and x=9; row y=11: x=4
+    rows = [(3, 10, 2), (4, 10, 1), (5, 10, 4), (9, 10, 1), (4, 11, 7)]
+    raster = spark.createDataFrame(rows, "x long, y long, n_points long")
+    runs = {(r["y"], r["x_start"]): r for r in raster_to_runs(raster, zoom=4).collect()}
+    assert set(runs) == {(10, 3), (10, 9), (11, 4)}
+    assert runs[(10, 3)]["x_end"] == 5 and runs[(10, 3)]["n_cells"] == 3
+    assert runs[(10, 3)]["n_points"] == 7
+    assert runs[(10, 9)]["n_cells"] == 1
+    # bbox sanity: strip spans [w_lon, e_lon) of 3 tiles at zoom 4
+    r = runs[(10, 3)]
+    assert abs((r["e_lon"] - r["w_lon"]) - 3 * 360.0 / 16) < 1e-9
+    assert r["n_lat"] > r["s_lat"]
+
+
+def test_candidates_range_partition_plan(spark, fixture_dir):
+    from pyspark.sql import functions as F
+
+    from conflation_spark.operators.candidates import candidate_edges
+    from conflation_spark.sources.spans import decode_points, load_documents
+
+    pts = decode_points(load_documents(spark, fixture_dir))
+    edges = spark.read.parquet(f"{fixture_dir}/edges.parquet")
+    cand = candidate_edges(pts, edges, broadcast_edges=False, range_partition=8)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(cell" in plan

@@ -89,6 +89,28 @@ def main():
         failures.append("decode scan not vectorized")
     print(f"[5] decode scan batched: {'Batched: true' in p1}")
 
+    # 6. matcher: single-shuffle shape — the candidate stream (the
+    # pipeline's largest intermediate) passes through exactly ONE
+    # repartition exchange into the Viterbi MapInPandas; the per-doc stats
+    # join touches only the small traversal output
+    from conflation_spark.operators.matching import match_traces
+
+    pts = filter_traces(decode_points(docs))
+    p6 = plan_of(match_traces(pts, candidate_edges(pts, edges)))
+    n_repart = len(re.findall(r"REPARTITION_BY_COL", p6))
+    has_mip = "MapInPandas" in p6
+    print(f"[6] matcher: MapInPandas={has_mip}, candidate repartitions={n_repart}")
+    if not has_mip:
+        failures.append("matcher lost its MapInPandas stage")
+    # 0 = fed straight from filter_traces, whose window exchange already
+    # partitions by doc_id and the explicit repartition is elided;
+    # 1 = fed from a checkpoint. >1 would mean the candidate stream is
+    # shuffled more than once.
+    if n_repart > 1:
+        failures.append(
+            f"matcher shuffles the candidate stream more than once ({n_repart})"
+        )
+
     if failures:
         print("\nFAILURES:")
         for f in failures:

@@ -47,18 +47,21 @@ def run_at(sf_dir: str, cpus: int) -> dict:
     )
 
 
-def best_of(sf_dir: str, cpus: int, repeats: int) -> dict:
-    runs = [run_at(sf_dir, cpus) for _ in range(repeats)]
-    return min(runs, key=lambda r: r["queries"]["pipeline_e2e"])
-
-
 def main():
     sf_name = sys.argv[1] if len(sys.argv) > 1 else "sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     sf_dir = f"/root/testdata/{sf_name}"
-    lo = best_of(sf_dir, n, repeats)
-    hi = best_of(sf_dir, 4 * n, repeats)
+    # INTERLEAVE the two levels (N, 4N, N, 4N, ...) so host drift (page
+    # cache fill, CPU frequency/thermal, background IO) biases both levels
+    # equally — sequential blocks systematically favored whichever level
+    # ran second. min-of-k per level as before.
+    runs: dict[int, list[dict]] = {n: [], 4 * n: []}
+    for _ in range(repeats):
+        for cpus in (n, 4 * n):
+            runs[cpus].append(run_at(sf_dir, cpus))
+    lo = min(runs[n], key=lambda r: r["queries"]["pipeline_e2e"])
+    hi = min(runs[4 * n], key=lambda r: r["queries"]["pipeline_e2e"])
     tl = lo["queries"]["pipeline_e2e"]
     th = hi["queries"]["pipeline_e2e"]
     eff = (tl / th) / 4.0
@@ -67,6 +70,8 @@ def main():
         "n_cpus": n,
         "4n_cpus": 4 * n,
         "repeats": repeats,
+        "all_runs_s_at_n": [round(r["queries"]["pipeline_e2e"], 1) for r in runs[n]],
+        "all_runs_s_at_4n": [round(r["queries"]["pipeline_e2e"], 1) for r in runs[4 * n]],
         "pipeline_s_at_n": tl,
         "pipeline_s_at_4n": th,
         "stages_at_n": {k: v for k, v in lo["queries"].items() if k.startswith("stage_")},
