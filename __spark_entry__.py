@@ -312,6 +312,31 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(v, q, k=10, id_col="vec_id", vec_col="vec")
 
 
+def _ivf_centroids(sf_dir: str):
+    """Centroids for the IVF query AND its oracle: trained with the shared
+    numpy kernel on the same deterministic sample (all vectors ordered by
+    id, capped at 2048), so both engines see identical floats."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from conflation_spark.functions.kernels import kmeans_lloyd
+
+    t = pq.read_table(f"{_text_dir(sf_dir)}/vectors.parquet", columns=["vec_id", "vec"])
+    order = np.argsort(np.array(t["vec_id"].to_pylist()), kind="stable")[:2048]
+    x = np.array(t["vec"].to_pylist(), dtype=np.float64)[order]
+    return kmeans_lloyd(x, 16)
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from conflation_spark.operators.similarity import ivf_topk
+
+    v = spark.read.parquet(f"{_text_dir(sf_dir)}/vectors.parquet")
+    q = v.orderBy("vec_id").limit(20).selectExpr("vec_id as query_id", "vec")
+    return ivf_topk(
+        v, q, k=10, id_col="vec_id", vec_col="vec", centroids=_ivf_centroids(sf_dir)
+    )
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.text import with_quality
 
@@ -554,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": _q_cosine_neardup,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "text_stats": _q_text_stats,
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
@@ -624,6 +650,40 @@ def oracle_sql() -> dict[str, str]:
     case_pred = "CASE " + " ".join(
         f"WHEN hits_{lg} = {m_expr} THEN '{lg}'" for lg in langs
     ) + " END"
+    # IVF oracle: centroid literals from the SAME shared-kernel training
+    # (_ivf_centroids) the Spark query uses; assignment/probing replicated
+    # as argmin / top-n_probe over per-centroid distances in SQL
+    cents = _ivf_centroids("/root/testdata/sf0.01")
+
+    def _arr(c):
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    dist_list = "[" + ",\n   ".join(f"list_distance(vec, {_arr(c)})" for c in cents) + "]"
+    ivf_sql = f"""
+WITH v AS (SELECT vec_id, vec, {dist_list} AS dl
+           FROM read_parquet('{td}/vectors.parquet')),
+va AS (SELECT vec_id, vec,
+              CAST(array_position(dl, list_min(dl)) - 1 AS BIGINT) AS list_id
+       FROM v),
+q AS (SELECT vec_id AS query_id, vec AS qvec, dl FROM v ORDER BY vec_id LIMIT 20),
+probes AS (
+  SELECT query_id, qvec, CAST(g.i AS BIGINT) AS list_id
+  FROM q, LATERAL (
+    SELECT i FROM (SELECT unnest(range(16)) AS i)
+    ORDER BY q.dl[CAST(i AS INT) + 1], i LIMIT 4
+  ) g
+),
+sc AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST(round(list_cosine_similarity(p.qvec, a.vec) * 1000000) AS BIGINT) AS cosine_c
+  FROM probes p JOIN va a ON a.list_id = p.list_id
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_c DESC, neighbor_id) AS BIGINT) AS rank,
+       cosine_c
+FROM sc QUALIFY rank <= 10
+"""
     # point-in-polygon crossing sum: generated from the same PIP_POLY
     # literals with the identical IEEE expression tree as the Spark side
     pip_edges = []
@@ -637,6 +697,7 @@ def oracle_sql() -> dict[str, str]:
         )
     pip_sum = " + ".join(pip_edges)
     return {
+        "ann_ivf_topk": ivf_sql,
         "point_in_polygon": f"""
 WITH sp AS (
   SELECT doc_id, unnest(spans) AS s

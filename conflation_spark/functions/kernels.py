@@ -105,6 +105,22 @@ def banded_hyperplane_signature(mat: np.ndarray, planes: np.ndarray, n_bands: in
     return (b3.astype(np.int64) * weights).sum(axis=2)
 
 
+def kmeans_lloyd(x: np.ndarray, n_lists: int, iters: int = 8) -> np.ndarray:
+    """Deterministic Lloyd k-means: init = first n_lists rows, fixed
+    iteration count, empty clusters keep their previous centroid. Shared
+    by the Spark IVF trainer and the DuckDB oracle generator so both see
+    bit-identical centroids from the same training rows."""
+    cent = np.array(x[:n_lists], dtype=np.float64, copy=True)
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = np.argmin(d2, axis=1)
+        for li in range(n_lists):
+            members = x[assign == li]
+            if len(members):
+                cent[li] = members.mean(axis=0)
+    return cent
+
+
 def stack_vectors(col) -> np.ndarray:
     """pandas Series of list<double> (Arrow) -> (n, dim) float64 matrix."""
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])

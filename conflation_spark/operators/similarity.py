@@ -139,6 +139,84 @@ def _cosine_pairs_kernel(batches):
         )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 2048,
+    iters: int = 8,
+) -> np.ndarray:
+    """Deterministic Lloyd k-means over a BOUNDED training sample (ordered
+    by id, first ``train_sample`` rows — the standard IVF practice: train
+    on a sample, assign the corpus distributively; the corpus itself is
+    never collected). Init = first n_lists sample vectors; empty lists
+    keep their previous centroid. Returns (n_lists, dim) float64."""
+    from conflation_spark.functions.kernels import kmeans_lloyd
+
+    rows = embeddings.orderBy(id_col).limit(train_sample).select(vec_col).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    return kmeans_lloyd(x, n_lists, iters)
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """pandas_udf: nearest-centroid list id per vector. Distances are
+    computed with the same explicit (x - c)^2 sum the SQL oracle uses, so
+    argmin decisions agree bit-for-bit across engines."""
+
+    def assign(col: pd.Series) -> pd.Series:
+        mat = stack_vectors(col)
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int64))
+
+    return F.pandas_udf(assign, "long").asNondeterministic()
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: corpus vectors are bucketed by
+    nearest centroid (one pandas_udf matmul pass, fully distributed);
+    each query probes its ``n_probe`` nearest lists and ranks exact
+    cosines within them. The scale sibling of ``lsh_topk`` — list sizes
+    are ~N/n_lists, so the candidate join is list-local.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_lists, id_col, vec_col)
+    assign = ivf_assign_udf(centroids)
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("evec"),
+        assign(F.col(vec_col)).alias("list_id"),
+    )
+
+    def probe(col: pd.Series) -> pd.Series:
+        mat = stack_vectors(col)
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    probe_udf = F.pandas_udf(probe, "array<long>").asNondeterministic()
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe_udf(F.col(vec_col))).alias("list_id"),
+    )
+    joined = F.broadcast(q).join(e, "list_id").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select("query_id", "qvec", "neighbor_id", "evec").mapInPandas(
+        _cosine_pairs_kernel, schema=TOPK_SCHEMA
+    )
+    return _topk_window(scored, k)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

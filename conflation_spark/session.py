@@ -31,6 +31,10 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Under spark-submit the JVM gateway is already up with the --master
+    # from the submit command line (PYSPARK_GATEWAY_PORT set); calling
+    # .master() here would override the cluster manager with local[N].
+    under_submit = master is None and os.environ.get("PYSPARK_GATEWAY_PORT")
     master = master or f"local[{cpus}]"
     # Parse N out of local[N] to size shuffle partitions; on a real cluster
     # this would be executors * cores (or left to AQE coalescing).
@@ -44,7 +48,7 @@ def get_spark(
         except ValueError:
             shuffle_partitions = cpus
     builder = (
-        SparkSession.builder.master(master)
+        (SparkSession.builder if under_submit else SparkSession.builder.master(master))
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

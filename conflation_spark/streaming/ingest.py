@@ -139,6 +139,37 @@ def stream_events(spark, input_dir: str, window: str = "1 minute") -> DataFrame:
     return windowed_event_counts(stream, window)
 
 
+def streaming_exact_dedup(
+    documents: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup on the normalized-text digest (the streaming
+    twin of ``operators.dedup.exact_dedup``).
+
+    The digest state persists ACROSS microbatches, so a duplicate arriving
+    hours after the original is still dropped. Winner semantics differ from
+    batch by necessity: streaming keeps the FIRST-ARRIVED row per digest
+    (batch keeps min id — a full-history sort is not expressible on an
+    unbounded stream).
+
+    With ``ts_col`` the state is bounded via
+    ``dropDuplicatesWithinWatermark`` (duplicates further apart than the
+    watermark can reappear — the standard tradeoff); without it the digest
+    set grows with the number of DISTINCT documents (exact forever, size
+    it accordingly).
+    """
+    from conflation_spark.operators.dedup import normalized
+
+    h = documents.withColumn("_md5", F.md5(normalized(F.col(text_col))))
+    if ts_col is not None:
+        out = h.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["_md5"])
+    else:
+        out = h.dropDuplicates(["_md5"])
+    return out.drop("_md5")
+
+
 def stateful_user_totals(spark, input_dir: str, max_files_per_trigger: int = 1):
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     running event totals that persist across microbatches.

@@ -83,3 +83,48 @@ def test_kill_and_resume_midway(spark, fixture_dir, tmp_path):
     assert full["filtered_points"] == partial["filtered_points"]
     assert os.path.getmtime(f"{work}/checkpoints/filtered_points/_SUCCESS") == mt_fp
     assert os.path.exists(os.path.join(work, "results", "config.json"))
+
+
+def test_spark_submit_py_files_e2e(fixture_dir, tmp_path):
+    """north_rule: the job runs via `spark-submit --py-files <pkg.zip>` —
+    the package must resolve from the zip (no repo on sys.path), produce
+    the config, and leave per-stage lineage manifests."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_zip = tmp_path / "conflation_spark.zip"
+    with zipfile.ZipFile(pkg_zip, "w") as z:
+        for root, _dirs, files in os.walk(os.path.join(repo, "conflation_spark")):
+            for fn in files:
+                if fn.endswith(".py"):
+                    p = os.path.join(root, fn)
+                    z.write(p, os.path.relpath(p, repo))
+    submit = shutil.which("spark-submit")
+    if submit is None:
+        import pyspark
+
+        submit = os.path.join(pyspark.__path__[0], "bin", "spark-submit")
+    work = tmp_path / "work"
+    env = {k: v for k, v in os.environ.items()}
+    env["PYSPARK_PYTHON"] = sys.executable
+    out = subprocess.run(
+        [
+            submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", str(pkg_zip),
+            os.path.join(repo, "tools", "submit_pipeline.py"),
+            "--input", fixture_dir, "--work", str(work),
+        ],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    result = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert result["rows"]["traversals"] > 0 and result["rows"]["config"] == 1
+    assert (work / "results" / "config.json").exists()
+    for stage in ("filtered_points", "traversals", "measurements"):
+        assert (work / "lineage" / f"{stage}.json").exists()

@@ -130,3 +130,18 @@ def test_multimodal_real_decode_roundtrip(spark):
     assert (r["width"], r["height"]) == (8, 12)
     assert len(r["feature"]) == multimodal.FEATURE_DIM
     assert all(abs(x - 128 / 255.0) < 1e-5 for x in r["feature"])
+
+
+def test_ivf_topk_finds_true_neighbors(spark, vectors):
+    """IVF ANN: planted near-dups (cosine ~1) land in the same inverted
+    list and are found at rank 1, matching brute force."""
+    kinds = {r["vec_id"]: r["kind"] for r in vectors.collect()}
+    near_dups = [v for v, k in sorted(kinds.items()) if k == "near_dup"][:20]
+    queries = vectors.where(F.col("vec_id").isin(near_dups)).selectExpr(
+        "vec_id as query_id", "vec"
+    )
+    bf = similarity.brute_force_topk(vectors, queries, k=5, id_col="vec_id", vec_col="vec")
+    ivf = similarity.ivf_topk(vectors, queries, k=5, id_col="vec_id", vec_col="vec")
+    bf_top1 = {r["query_id"]: r["neighbor_id"] for r in bf.collect() if r["rank"] == 1}
+    ivf_top1 = {r["query_id"]: r["neighbor_id"] for r in ivf.collect() if r["rank"] == 1}
+    assert near_dups and all(ivf_top1.get(q) == bf_top1[q] for q in near_dups)

@@ -118,3 +118,38 @@ def test_stateful_user_totals_across_microbatches(spark, tmp_path):
     # running totals = sum of batch contributions
     for u, rs in per_user_rows.items():
         assert sum(r["batch_events"] for r in rs) == final_totals[u][0]
+
+
+def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
+    """Digest state persists across microbatches: a duplicate arriving in a
+    LATER file (forced by maxFilesPerTrigger=1) is dropped; kept texts
+    equal the batch distinct set."""
+    from conflation_spark.streaming.ingest import streaming_exact_dedup
+
+    src = str(tmp_path / "texts_stream")
+    os.makedirs(src)
+    batch1 = [("a1", "alpha beta gamma"), ("a2", "delta epsilon"), ("a3", "  ALPHA   BETA GAMMA ")]
+    batch2 = [("b1", "alpha beta gamma"), ("b2", "zeta eta"), ("b3", "delta epsilon")]
+    schema = "text_id string, text string"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(f"{src}/f1")
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(f"{src}/f2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select text_id, text from dedup_stream").collect()
+    import re
+
+    kept_norm = {re.sub(r"\s+", " ", r["text"].strip().lower()) for r in rows}
+    assert kept_norm == {"alpha beta gamma", "delta epsilon", "zeta eta"}
+    assert len(rows) == 3  # one winner per digest, across batches AND casing
