@@ -38,12 +38,47 @@ def _is_done(work_dir: str, stage: str) -> bool:
     )
 
 
+def _table_name(work_dir: str, stage: str) -> str:
+    import hashlib
+
+    return f"ckpt_{stage}_{hashlib.md5(work_dir.encode()).hexdigest()[:10]}"
+
+
 def _write_stage(
-    df: DataFrame, work_dir: str, stage: str, inputs: list[str], params: dict
+    df: DataFrame,
+    work_dir: str,
+    stage: str,
+    inputs: list[str],
+    params: dict,
+    bucket_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    n_buckets: int = 64,
 ) -> None:
     path = _ckpt(work_dir, stage)
     t0 = time.time()
-    df.write.mode("overwrite").parquet(path)
+    if bucket_by:
+        # Bucketed checkpoint (the brief's "bucketing for co-located
+        # joins"): the reader scans hash(bucket_by, n_buckets)-partitioned
+        # and per-bucket-sorted, so every downstream operator clustered on
+        # the same keys — the candidate join + Viterbi repartition — runs
+        # with ZERO additional shuffles. repartition first so each bucket
+        # is exactly one file (Spark only trusts per-bucket sort order
+        # then, and the file count stays n_buckets instead of
+        # tasks x buckets).
+        spark = df.sparkSession
+        tbl = _table_name(work_dir, stage)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            df.repartition(n_buckets, *bucket_by)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, *bucket_by)
+            .sortBy(*(sort_by or bucket_by))
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    else:
+        df.write.mode("overwrite").parquet(path)
     elapsed = time.time() - t0
     # per-partition lineage + metrics from the parquet footers. Footer reads
     # are tiny but latency-bound; harvest them with a thread pool so the
@@ -67,10 +102,19 @@ def _write_stage(
         parts = list(pool.map(_part_meta, files))
     total_rows = sum(p["rows"] for p in parts)
     part_rows = [p["rows"] for p in parts] or [0]
+    bucket_spec = None
+    if bucket_by:
+        bucket_spec = {
+            "cols": list(bucket_by),
+            "sort": list(sort_by or bucket_by),
+            "n": n_buckets,
+            "ddl": df._jdf.schema().toDDL(),
+        }
     manifest = {
         "stage": stage,
         "inputs": inputs,
         "params": params,
+        "bucketed": bucket_spec,
         "rows": total_rows,
         "partitions": len(parts),
         "write_seconds": round(elapsed, 3),
@@ -112,6 +156,28 @@ def read_lineage(work_dir: str, stage: str) -> dict:
         return json.load(f)
 
 
+def read_stage(spark: SparkSession, work_dir: str, stage: str) -> DataFrame:
+    """Read a finished checkpoint. Bucketed stages come back through the
+    catalog so the scan keeps its hash partitioning + per-bucket sort; a
+    fresh session (resume after restart — the in-memory catalog is gone)
+    re-registers an external bucketed table over the same files from the
+    manifest's recorded spec."""
+    man = read_lineage(work_dir, stage)
+    spec = man.get("bucketed")
+    if not spec:
+        return spark.read.parquet(_ckpt(work_dir, stage))
+    tbl = _table_name(work_dir, stage)
+    if not spark.catalog.tableExists(tbl):
+        cols = ", ".join(spec["cols"])
+        sort = ", ".join(spec["sort"])
+        spark.sql(
+            f"CREATE TABLE {tbl} ({spec['ddl']}) USING PARQUET "
+            f"CLUSTERED BY ({cols}) SORTED BY ({sort}) INTO {spec['n']} BUCKETS "
+            f"LOCATION '{_ckpt(work_dir, stage)}'"
+        )
+    return spark.read.table(tbl)
+
+
 def run_pipeline(
     spark: SparkSession,
     input_dir: str,
@@ -141,14 +207,14 @@ def run_pipeline(
     params = {"zoom": zoom, "input_dir": input_dir}
     counts: dict[str, int] = {}
 
-    def stage(name: str, build, inputs: list[str]) -> DataFrame:
+    def stage(name: str, build, inputs: list[str], **write_kw) -> DataFrame:
         if resume and _is_done(work_dir, name):
             counts[name] = read_lineage(work_dir, name)["rows"]
-            return spark.read.parquet(_ckpt(work_dir, name))
+            return read_stage(spark, work_dir, name)
         df = build()
-        _write_stage(df, work_dir, name, inputs, params)
+        _write_stage(df, work_dir, name, inputs, params, **write_kw)
         counts[name] = read_lineage(work_dir, name)["rows"]
-        return spark.read.parquet(_ckpt(work_dir, name))
+        return read_stage(spark, work_dir, name)
 
     docs = load_documents(spark, input_dir)
     if checkpoint_points:
@@ -165,14 +231,31 @@ def run_pipeline(
         points = decode_points(docs).select("doc_id", "offset", "time", "lon", "lat")
         points_input = f"{input_dir}/documents.parquet"
 
-    filtered = stage("filtered_points", lambda: filter_traces(points), [points_input])
+    # filtered points checkpoint is BUCKETED by doc_id (sorted by
+    # doc_id, gps_idx): the traversal stage's candidate scan inherits the
+    # hash partitioning through the broadcast cell join, so the matcher's
+    # repartition(n_buckets, doc_id) is elided — the resumed traversal
+    # stage runs with zero shuffles of the candidate stream.
+    n_buckets = 64
+    filtered = stage(
+        "filtered_points",
+        lambda: filter_traces(points),
+        [points_input],
+        bucket_by=["doc_id"],
+        sort_by=["doc_id", "gps_idx"],
+        n_buckets=n_buckets,
+    )
     if stop_after == "filtered_points":
         return counts
 
     edges = spark.read.parquet(f"{input_dir}/edges.parquet")
     traversals = stage(
         "traversals",
-        lambda: match_traces(filtered, candidate_edges(filtered, edges, zoom=zoom)),
+        lambda: match_traces(
+            filtered,
+            candidate_edges(filtered, edges, zoom=zoom),
+            num_partitions=n_buckets,
+        ),
         [_ckpt(work_dir, "filtered_points"), f"{input_dir}/edges.parquet"],
     )
     if stop_after == "traversals":

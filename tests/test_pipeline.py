@@ -128,3 +128,32 @@ def test_spark_submit_py_files_e2e(fixture_dir, tmp_path):
     assert (work / "results" / "config.json").exists()
     for stage in ("filtered_points", "traversals", "measurements"):
         assert (work / "lineage" / f"{stage}.json").exists()
+
+
+def test_bucketed_checkpoint_traversal_is_shuffle_free(spark, fixture_dir, tmp_path):
+    """The doc_id-bucketed filtered_points checkpoint must make the resumed
+    traversal stage exchange-free: the scan's hash partitioning flows
+    through the broadcast cell join, the matcher's repartition elides, and
+    the per-doc meta aggregation is already clustered."""
+    import re
+
+    from conflation_spark.operators.candidates import candidate_edges
+    from conflation_spark.operators.matching import match_traces
+    from conflation_spark.plans.pipeline import (
+        _table_name,
+        read_stage,
+        run_pipeline,
+    )
+
+    work = str(tmp_path / "work")
+    run_pipeline(spark, fixture_dir, work, resume=False, stop_after="filtered_points")
+    filtered = read_stage(spark, work, "filtered_points")
+    edges = spark.read.parquet(f"{fixture_dir}/edges.parquet")
+    trav = match_traces(filtered, candidate_edges(filtered, edges), num_partitions=64)
+    plan = trav._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+    assert trav.count() > 0
+    # fresh-session resume path: catalog lost -> re-register over the files
+    spark.sql(f"DROP TABLE IF EXISTS {_table_name(work, 'filtered_points')}")
+    refiltered = read_stage(spark, work, "filtered_points")
+    assert refiltered.count() == filtered.count()
