@@ -236,10 +236,15 @@ def run_pipeline(
     # hash partitioning through the broadcast cell join, so the matcher's
     # repartition(n_buckets, doc_id) is elided — the resumed traversal
     # stage runs with zero shuffles of the candidate stream.
+    # Pre-partition to the BUCKET layout before the filter's windows: the
+    # window's clustered-distribution requirement accepts hash(doc_id, 64),
+    # and the bucketed write's own repartition then elides — so the stage
+    # still pays exactly ONE shuffle (at 64 partitions instead of
+    # shuffle_partitions), and the bucketing itself is free.
     n_buckets = 64
     filtered = stage(
         "filtered_points",
-        lambda: filter_traces(points),
+        lambda: filter_traces(points.repartition(n_buckets, "doc_id")),
         [points_input],
         bucket_by=["doc_id"],
         sort_by=["doc_id", "gps_idx"],
