@@ -337,6 +337,16 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata over the synthetic blob table (binary content +
+    typed columns) — the blobs derive deterministically from the spatial
+    fixture's media spans, so DuckDB can rebuild byte-identical content."""
+    from conflation_spark.operators.multimodal import media_metadata, synth_blobs
+
+    docs = spark.read.parquet(f"{_spatial_dir(sf_dir)}/documents.parquet")
+    return media_metadata(synth_blobs(spark, docs))
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.text import with_quality
 
@@ -580,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "media_metadata": _q_media_metadata,
         "text_stats": _q_text_stats,
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
@@ -675,7 +686,7 @@ probes AS (
 ),
 sc AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
-         CAST(round(list_cosine_similarity(p.qvec, a.vec) * 1000000) AS BIGINT) AS cosine_c
+         CAST(floor(list_cosine_similarity(p.qvec, a.vec) * 1000000 + 0.5) AS BIGINT) AS cosine_c
   FROM probes p JOIN va a ON a.list_id = p.list_id
   WHERE p.query_id <> a.vec_id
 )
@@ -856,7 +867,7 @@ p AS (
 ),
 sc AS (
   SELECT p.query_id, v.vec_id AS neighbor_id,
-         CAST(round(list_cosine_similarity(p.qvec, v.vec) * 1000000) AS BIGINT) AS cosine_c
+         CAST(floor(list_cosine_similarity(p.qvec, v.vec) * 1000000 + 0.5) AS BIGINT) AS cosine_c
   FROM p JOIN v ON v.lsh_bucket = p.bucket
   WHERE p.query_id <> v.vec_id
 )
@@ -865,19 +876,55 @@ SELECT query_id, neighbor_id,
        cosine_c
 FROM sc QUALIFY rank <= 10
 """,
+        # embedding near-dup: the oracle mirrors the operator's banded
+        # hyperplane LSH (like simhash/ann_lsh): `emb_bands` is precomputed
+        # in the fixture by the SAME kernel
+        # (kernels.banded_hyperplane_signature, 12 x 12-bit), the band
+        # equi-join + exact-cosine verify are expressed in SQL — so the gate
+        # checks the probabilistic candidate set itself, not an exact
+        # all-pairs twin that only agrees when no pair sits near the
+        # threshold boundary
         "embedding_cosine_pairs": f"""
-WITH v AS (SELECT vec_id, vec FROM read_parquet('{td}/vectors.parquet'))
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       CAST(round(list_cosine_similarity(a.vec, b.vec) * 10000) AS BIGINT) AS cosine_c
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.vec, b.vec) >= 0.95
+WITH v AS (SELECT vec_id, vec, emb_bands FROM read_parquet('{td}/vectors.parquet')),
+bands AS (
+  SELECT vec_id, unnest(range(12)) AS band_idx, unnest(emb_bands) AS band_val FROM v
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(floor(list_cosine_similarity(va.vec, vb.vec) * 10000 + 0.5) AS BIGINT) AS cosine_c
+FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b
+WHERE list_cosine_similarity(va.vec, vb.vec) >= 0.95
+""",
+        # media metadata: blobs rebuilt byte-identically in SQL
+        # (content = unhex(sha256(media_ref))); the digest is sha256 over
+        # the UPPERCASE hex encoding because DuckDB 1.0 hashes VARCHAR only
+        "media_metadata": f"""
+WITH sp AS (
+  SELECT unnest(spans) AS s FROM read_parquet('{d}/documents.parquet')
+),
+refs AS (SELECT DISTINCT s.media_ref AS media_ref FROM sp WHERE s.media_ref <> ''),
+b AS (
+  SELECT media_ref,
+         from_hex(sha256(media_ref)) AS content,
+         ascii(substr(media_ref, length(media_ref), 1)) % 3 AS kn
+  FROM refs
+)
+SELECT media_ref,
+       CASE kn WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
+       CAST(octet_length(content) AS BIGINT) AS n_bytes,
+       sha256(hex(content)) AS content_sha256
+FROM b
 """,
         "ann_topk": f"""
 WITH v AS (SELECT vec_id, vec FROM read_parquet('{td}/vectors.parquet')),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM v ORDER BY vec_id LIMIT 20),
 s AS (
   SELECT q.query_id, v.vec_id AS neighbor_id,
-         CAST(round(list_cosine_similarity(q.qvec, v.vec) * 1000000) AS BIGINT) AS cosine_c
+         CAST(floor(list_cosine_similarity(q.qvec, v.vec) * 1000000 + 0.5) AS BIGINT) AS cosine_c
   FROM q CROSS JOIN v WHERE q.query_id <> v.vec_id
 )
 SELECT query_id, neighbor_id,

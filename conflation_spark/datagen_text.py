@@ -89,16 +89,32 @@ def gen_vectors(out_dir: str, n: int, seed: int = 11) -> None:
         else:
             vecs[i] = rng.normal(0, 1.0, DIM)
             kinds.append("base")
-    from conflation_spark.functions.kernels import hyperplane_signature, lsh_planes
+    from conflation_spark.functions.kernels import (
+        banded_hyperplane_signature,
+        hyperplane_signature,
+        lsh_planes,
+    )
+    from conflation_spark.operators.dedup import (
+        EMB_LSH_BANDS,
+        EMB_LSH_BITS_PER_BAND,
+        EMB_LSH_SEED,
+    )
     from conflation_spark.operators.similarity import ANN_DIM, ANN_N_PLANES, ANN_SEED
 
     buckets = hyperplane_signature(vecs, lsh_planes(ANN_N_PLANES, ANN_DIM, ANN_SEED))
+    # near-dup LSH band values with the SAME kernel + family constants the
+    # embedding_cosine_pairs operator uses live — the DuckDB oracle mirrors
+    # the band join over this column (like `simhash` / `lsh_bucket`)
+    emb_bands = banded_hyperplane_signature(
+        vecs, lsh_planes(EMB_LSH_BANDS * EMB_LSH_BITS_PER_BAND, DIM, EMB_LSH_SEED), EMB_LSH_BANDS
+    )
     tbl = pa.table(
         {
             "vec_id": pa.array([f"v{i:06d}" for i in range(n)], pa.string()),
             "vec": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float64())),
             "kind": pa.array(kinds, pa.string()),
             "lsh_bucket": pa.array(buckets.tolist(), pa.int64()),
+            "emb_bands": pa.array([r.tolist() for r in emb_bands], pa.list_(pa.int64())),
         }
     )
     pq.write_table(tbl, os.path.join(out_dir, "vectors.parquet"), row_group_size=512)
@@ -111,7 +127,7 @@ def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     if sf_name not in SF_TEXT:
         sf_name = "sf0.01"
     out = os.path.join(root, sf_name)
-    marker = os.path.join(out, "_SUCCESS_v2")
+    marker = os.path.join(out, "_SUCCESS_v3")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)

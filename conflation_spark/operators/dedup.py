@@ -26,7 +26,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from conflation_spark.functions.kernels import lsh_planes, stack_vectors
-from conflation_spark.operators.similarity import signature_udf
 
 # 31-bit Mersenne prime: a*h stays under 2^62, no long overflow in ANSI mode
 MERSENNE = (1 << 31) - 1
@@ -209,10 +208,13 @@ def ngram_jaccard_pairs(
     BEFORE the self-join. Without it a stop-shingle shared by f docs
     materializes f^2 join rows — the scale killer for boilerplate text.
     Jaccard is then computed over the df-filtered shingle sets (both
-    intersection and sizes exclude dropped shingles), which equals exact
-    Jaccard for any pair whose shared shingles are all below the cap; the
-    DuckDB oracle applies the same cap, so the gate checks the capped
-    semantics exactly.
+    intersection and sizes exclude dropped shingles). Capped Jaccard is NOT
+    exact Jaccard and can err in either direction: dropping a non-shared
+    high-DF shingle shrinks the union only (capped > exact), dropping a
+    SHARED one shrinks intersection and union together ((i-1)/(u-1) < i/u,
+    capped < exact). The two agree exactly iff no shingle of either doc
+    exceeds the cap. The DuckDB oracle applies the same cap, so the gate
+    checks the capped semantics exactly.
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("g")
@@ -431,7 +433,8 @@ def embedding_cosine_pairs(
                 {
                     "id_a": pdf["id_a"].to_numpy()[keep],
                     "id_b": pdf["id_b"].to_numpy()[keep],
-                    "cosine_c": np.round(cos[keep] * 10000).astype(np.int64),
+                    # floor(x*1e4 + 0.5): same integerization as the oracle
+                    "cosine_c": np.floor(cos[keep] * 10000 + 0.5).astype(np.int64),
                 }
             )
 

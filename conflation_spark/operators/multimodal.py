@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_META_SCHEMA = (
-    "media_ref string, media_kind string, n_bytes long, content_sha1 string"
+    "media_ref string, media_kind string, n_bytes long, content_sha256 string"
 )
 IMAGE_FEATURE_SCHEMA = (
     "media_ref string, width int, height int, feature array<float>"
@@ -44,11 +44,12 @@ def synth_blobs(spark, documents: DataFrame) -> DataFrame:
         .distinct()
     )
     payload = F.unhex(F.sha2(F.col("media_ref").cast("binary"), 256))
+    # kind from the ref's last char (ascii % 3): deterministic AND
+    # expressible in DuckDB (crc32 is not), so media_metadata has an oracle
+    kind_n = F.ascii(F.substring(F.col("media_ref"), -1, 1)) % 3
     return refs.withColumn("content", payload).withColumn(
         "media_kind",
-        F.when(F.crc32(F.col("media_ref").cast("binary")) % 3 == 0, "image")
-        .when(F.crc32(F.col("media_ref").cast("binary")) % 3 == 1, "audio")
-        .otherwise("video"),
+        F.when(kind_n == 0, "image").when(kind_n == 1, "audio").otherwise("video"),
     )
 
 
@@ -93,12 +94,18 @@ DEFAULT_IMAGE_DECODER = _decode_image_pil if HAS_PIL else _decode_image_stub
 
 
 def media_metadata(blobs: DataFrame) -> DataFrame:
-    """Typed metadata over the binary column — pure column ops."""
+    """Typed metadata over the binary column — pure column ops.
+
+    The content digest is sha256 over the UPPERCASE HEX encoding of the
+    bytes (not the raw bytes): engine-portable — DuckDB 1.0 can hash
+    VARCHAR but not BLOB, so this form has an exact SQL oracle while
+    staying a collision-resistant fingerprint of the binary content.
+    """
     return blobs.select(
         "media_ref",
         "media_kind",
         F.length("content").cast("long").alias("n_bytes"),
-        F.sha1("content").alias("content_sha1"),
+        F.sha2(F.hex("content"), 256).alias("content_sha256"),
     )
 
 

@@ -49,11 +49,25 @@ def _topk_window(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _collect_query_matrix(queries: DataFrame, query_id_col: str, vec_col: str):
+MAX_QUERY_SET = 10_000  # hard cap on the collected probe set (enforced, not assumed)
+
+
+def _collect_query_matrix(
+    queries: DataFrame, query_id_col: str, vec_col: str, max_queries: int = MAX_QUERY_SET
+):
     """Bounded probe set -> (sorted ids, matrix, norms). The query set is
     small by contract (it is the user's probe list); the CORPUS is never
-    collected."""
-    rows = queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")).collect()
+    collected. The contract is ENFORCED: a probe set larger than
+    ``max_queries`` fails fast (cheap ``limit(n+1)`` count — a LocalLimit
+    short-circuits the scan) instead of silently OOM-ing the driver."""
+    probe = queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    if probe.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"query probe set exceeds {max_queries} rows — brute_force_topk "
+            "collects the query side; pass a bounded probe set (or raise "
+            "max_queries explicitly)"
+        )
+    rows = probe.collect()
     qids = np.array([r["qid"] for r in rows], dtype="U")
     order = np.argsort(qids, kind="stable")
     qids = qids[order]
@@ -69,13 +83,14 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = MAX_QUERY_SET,
 ) -> DataFrame:
     """Exact cosine top-k per query: (query_id, neighbor_id, rank, cosine_c).
 
     Deterministic: rank by (rounded cosine desc, neighbor_id asc) so results
     are stable across engines and partitionings. Self-matches excluded.
     """
-    qids, qmat, qnrm = _collect_query_matrix(queries, query_id_col, vec_col)
+    qids, qmat, qnrm = _collect_query_matrix(queries, query_id_col, vec_col, max_queries)
 
     def op(batches):
         for pdf in batches:
@@ -84,10 +99,13 @@ def brute_force_topk(
             ids = pdf["_id"].to_numpy().astype("U")
             mat = stack_vectors(pdf["_vec"])
             nrm = np.linalg.norm(mat, axis=1)
-            # dot / (|a| * |q|): same form as the SQL oracle's cosine
-            cos_c = np.round((mat @ qmat.T) / (nrm[:, None] * qnrm[None, :]) * 1e6).astype(
-                np.int64
-            )
+            # dot / (|a| * |q|): same form as the SQL oracle's cosine.
+            # integerize with floor(x*1e6 + 0.5) — NOT np.round (half-even):
+            # the oracles use the identical floor form, so an exact .5 tie
+            # integerizes the same on both engines (oracle-parity rule)
+            cos_c = np.floor(
+                (mat @ qmat.T) / (nrm[:, None] * qnrm[None, :]) * 1e6 + 0.5
+            ).astype(np.int64)
             out = []
             for qi in range(len(qids)):
                 mask = ids != qids[qi]
@@ -134,7 +152,8 @@ def _cosine_pairs_kernel(batches):
             {
                 "query_id": pdf["query_id"].to_numpy(),
                 "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                "cosine_c": np.round(cos * 1e6).astype(np.int64),
+                # floor(x*1e6 + 0.5): same integerization as the SQL oracles
+                "cosine_c": np.floor(cos * 1e6 + 0.5).astype(np.int64),
             }
         )
 

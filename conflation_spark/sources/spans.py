@@ -29,14 +29,23 @@ def load_documents(spark, source: str) -> DataFrame:
 
     The table branch is the Iceberg seam (north_rule: Iceberg tables of
     interleaved docs): with the iceberg-spark runtime jars and a catalog
-    configured, pass ``catalog.db.documents`` and the scan (incl. pushdown
-    and partition pruning) goes through the Iceberg source — the container
-    has no Iceberg jars, so CI covers the branch with temp views and skips
-    the format-specific test (see tests/test_spans.py).
+    configured, pass ``table:catalog.db.documents`` and the scan (incl.
+    pushdown and partition pruning) goes through the Iceberg source — the
+    container has no Iceberg jars, so CI covers the branch with temp views
+    and skips the format-specific test (see tests/test_spans.py).
+
+    Routing: an explicit ``table:`` prefix or a path that does NOT exist on
+    the filesystem is a catalog identifier; an existing path is a fixture
+    directory (round-2 inferred from '/' which misread a relative dir like
+    ``sf1`` as a table name).
     """
-    if "/" not in source and not source.endswith(".parquet"):
+    import os
+
+    if source.startswith("table:"):
+        return spark.read.table(source[len("table:"):])
+    if not os.path.exists(source):
         return spark.read.table(source)
-    return spark.read.parquet(f"{source}/documents.parquet")
+    return spark.read.parquet(os.path.join(source, "documents.parquet"))
 
 
 def decode_points(documents: DataFrame) -> DataFrame:
