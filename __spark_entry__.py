@@ -56,7 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
     d = _spatial_dir("/root/testdata/sf0.001")
     docs = load_documents(spark, d)
     pts = filter_traces(decode_points(docs)).select(
-        "doc_id", "offset", "gps_idx", "time", "lon", "lat"
+        "doc_id", "offset", "gps_idx", "gc_prev", "time", "lon", "lat"
     )
     edges = spark.read.parquet(f"{d}/edges.parquet")
     traversals = match_traces(pts, candidate_edges(pts, edges))
@@ -855,21 +855,28 @@ cand AS (
 SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """,
-        # ann lsh: `lsh_bucket` precomputed by the shared hyperplane kernel;
-        # the oracle expresses the multi-probe (own + Hamming-1 buckets),
-        # bucket equi-join, exact cosine and rank
+        # ann lsh: `lsh_buckets` (one id per LSH table) precomputed by the
+        # shared banded hyperplane kernel; the oracle expresses the
+        # per-table multi-probe (own + Hamming-1 buckets), the
+        # (table, bucket) equi-join, candidate dedup, exact cosine and rank
         "ann_lsh_topk": f"""
-WITH v AS (SELECT vec_id, vec, lsh_bucket FROM read_parquet('{td}/vectors.parquet')),
-q AS (SELECT vec_id AS query_id, vec AS qvec, lsh_bucket AS qb FROM v ORDER BY vec_id LIMIT 20),
+WITH v AS (SELECT vec_id, vec, lsh_buckets FROM read_parquet('{td}/vectors.parquet')),
+e AS (SELECT vec_id, unnest(range(8)) AS tbl, unnest(lsh_buckets) AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, vec AS qvec, lsh_buckets AS qbs FROM v ORDER BY vec_id LIMIT 20),
+qb AS (SELECT query_id, unnest(range(8)) AS tbl, unnest(qbs) AS b FROM q),
 p AS (
-  SELECT query_id, qvec, xor(qb, m) AS bucket
-  FROM q CROSS JOIN (SELECT unnest(CAST([0,1,2,4,8,16,32,64,128] AS BIGINT[])) AS m)
+  SELECT query_id, tbl, xor(b, m) AS bucket
+  FROM qb CROSS JOIN (SELECT unnest(CAST([0,1,2,4,8,16,32,64,128,256,512] AS BIGINT[])) AS m)
+),
+cand AS (
+  SELECT DISTINCT p.query_id, e.vec_id AS neighbor_id
+  FROM p JOIN e ON e.tbl = p.tbl AND e.bucket = p.bucket
+  WHERE p.query_id <> e.vec_id
 ),
 sc AS (
-  SELECT p.query_id, v.vec_id AS neighbor_id,
-         CAST(floor(list_cosine_similarity(p.qvec, v.vec) * 1000000 + 0.5) AS BIGINT) AS cosine_c
-  FROM p JOIN v ON v.lsh_bucket = p.bucket
-  WHERE p.query_id <> v.vec_id
+  SELECT c.query_id, c.neighbor_id,
+         CAST(floor(list_cosine_similarity(q.qvec, v.vec) * 1000000 + 0.5) AS BIGINT) AS cosine_c
+  FROM cand c JOIN q ON q.query_id = c.query_id JOIN v ON v.vec_id = c.neighbor_id
 )
 SELECT query_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_c DESC, neighbor_id) AS BIGINT) AS rank,

@@ -64,21 +64,41 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = 
         finally:
             shutil.rmtree(warm_work, ignore_errors=True)
 
-        t0 = time.time()
-        counts = run_pipeline(spark, fixture, work, resume=False)
-        queries["pipeline_e2e"] = round(time.time() - t0, 3)
-
-        # per-stage timings from the lineage manifests
+        # pipeline e2e: min over 2 back-to-back runs. Single-host stage
+        # times vary up to 2-3x with host interference (BENCH_NOTES.md
+        # documents the campaign); min-of-k is the standard defense and
+        # both raw values are reported (pipeline_runs_s) so a noisy run is
+        # visible, not hidden. The second run uses a FRESH work dir — no
+        # checkpoint reuse, the full compute repeats.
         from conflation_spark.plans.pipeline import STAGES, read_lineage
 
+        e2e_runs: list[float] = []
+        stage_runs: dict[str, list[float]] = {}
+        skew: dict[str, float] = {}
+        for _ in range(2):
+            shutil.rmtree(work, ignore_errors=True)
+            os.makedirs(work, exist_ok=True)
+            t0 = time.time()
+            counts = run_pipeline(spark, fixture, work, resume=False)
+            e2e_runs.append(round(time.time() - t0, 3))
+            for st in STAGES:
+                man = read_lineage(work, st)
+                stage_runs.setdefault(st, []).append(man["write_seconds"])
+                skew[st] = man.get("skew_ratio", 1.0)
+            rc = os.path.join(work, "lineage", "rollup_config.json")
+            if os.path.exists(rc):
+                with open(rc) as f:
+                    stage_runs.setdefault("rollup_config", []).append(
+                        json.load(f)["seconds"]
+                    )
+        queries["pipeline_e2e"] = min(e2e_runs)
         for st in STAGES:
-            queries[f"stage_{st}_write_s"] = read_lineage(work, st)["write_seconds"]
-        rc = os.path.join(work, "lineage", "rollup_config.json")
-        if os.path.exists(rc):
-            with open(rc) as f:
-                queries["stage_rollup_config_s"] = json.load(f)["seconds"]
+            queries[f"stage_{st}_write_s"] = min(stage_runs[st])
+        if "rollup_config" in stage_runs:
+            queries["stage_rollup_config_s"] = min(stage_runs["rollup_config"])
 
         # operator queries (driver tables at sf_dir + spatial fixture)
+        ann_recall: dict = {}
         if not pipeline_only:
             import __spark_entry__ as em
 
@@ -91,6 +111,36 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = 
                 t0 = time.time()
                 fn(spark, sf_dir).count()
                 queries[name] = round(time.time() - t0, 3)
+
+        # ANN retrieval quality: recall@10 of the approximate methods vs the
+        # exact brute-force ground truth on the same (corpus, probe set) —
+        # hash-matching the DuckDB oracle proves determinism, recall is the
+        # number an ANN user actually needs. Plus IVF n_probe sensitivity.
+        if not pipeline_only:
+            truth = em.queries()["ann_topk"](spark, sf_dir).cache()
+            n_truth = truth.count()
+            for name in ("ann_lsh_topk", "ann_ivf_topk"):
+                got = em.queries()[name](spark, sf_dir)
+                hit = got.join(truth, ["query_id", "neighbor_id"], "left_semi").count()
+                ann_recall[f"{name}_recall_at_10"] = round(hit / max(n_truth, 1), 4)
+            # n_probe curve for IVF (same centroids as the headline query)
+            from pyspark.sql import functions as FF
+
+            from conflation_spark.operators.similarity import ivf_topk
+
+            cents = em._ivf_centroids(sf_dir)
+            v = spark.read.parquet(f"{em._text_dir(sf_dir)}/vectors.parquet")
+            q = v.orderBy("vec_id").limit(20).selectExpr("vec_id as query_id", "vec")
+            curve = {}
+            for n_probe in (1, 2, 4, 8):
+                got = ivf_topk(
+                    v, q, k=10, n_probe=n_probe, id_col="vec_id", vec_col="vec",
+                    centroids=cents,
+                )
+                hit = got.join(truth, ["query_id", "neighbor_id"], "left_semi").count()
+                curve[str(n_probe)] = round(hit / max(n_truth, 1), 4)
+            ann_recall["ivf_recall_at_10_by_n_probe"] = curve
+            truth.unpersist()
 
         # correctness metrics vs ground truth (BASELINE.json: per-edge
         # speed-bucket exact-match rate): re-derive measurements keeping
@@ -161,6 +211,10 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = 
             "queries": queries,
             "sf": sf_name,
             "cpus": cpus,
+            "pipeline_runs_s": e2e_runs,
+            "stage_runs_s": stage_runs,
+            "skew_ratio": skew,
+            "ann_recall": ann_recall,
             "accuracy": accuracy,
             "throughput": {
                 "docs_per_sec": round(n_docs / total, 2),

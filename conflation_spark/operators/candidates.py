@@ -55,8 +55,10 @@ def candidate_edges(
     along-edge route distances.
     """
     # gps_idx (dense per-doc point index from filter_traces) rides along so
-    # the matcher can run off candidates alone (missing points = idx gaps)
-    extra = [c for c in ("gps_idx",) if c in points.columns]
+    # the matcher can run off candidates alone (missing points = idx gaps);
+    # gc_prev (precomputed adjacent-pair great-circle) replaces lon/lat in
+    # the matcher's transition model
+    extra = [c for c in ("gps_idx", "gc_prev") if c in points.columns]
     pc = with_point_cell(points.select("doc_id", "offset", "time", "lon", "lat", *extra), zoom)
     if range_partition:
         # continental-scale locality knob (north_star: explicit

@@ -8,17 +8,25 @@ HMM (emission ~ Gaussian GPS noise on point-to-edge distance; transition ~
 agreement between route distance and great-circle distance), with parameters
 fixed and documented here so the pure-Python test oracle can share them.
 
-Execution shape (single-shuffle): the matcher consumes ONLY the candidate
-rows (which already carry each point's time/lon/lat) — one repartition by
-doc_id + sortWithinPartitions + mapInPandas. Points with no candidate
-within the search radius never appear in the candidate set; the kernels
-detect them as GAPS in ``gps_idx`` (the dense per-doc point index the
-trace filter emits for free from its ordered window). That removes the
-round-1 left join of the full points table back onto candidates — i.e. a
-second full shuffle plus a sort-merge join of the pipeline's largest
-intermediate. Per-doc stats (t0, n_points) come from a map-side-combined
-aggregation of the points table (tiny shuffle) joined onto the traversal
-rows (small) after matching.
+Execution shape (zero-shuffle off the bucketed checkpoint): the matcher
+consumes the candidate rows, collapses them to ONE ROW PER POINT
+(doc_id, gps_idx, time, gc_prev, cands: array<struct>) with an in-partition
+hash aggregation — the (doc_id, gps_idx) grouping is satisfied by the
+checkpoint's hash(doc_id) bucketing, so no exchange — then
+sortWithinPartitions + a mapInArrow Viterbi kernel. Collapsing before the
+sort/Arrow boundary removes the per-candidate duplication of the point
+attrs (~2.1 candidate rows per point at fixture density), and the
+transition model consumes ``gc_prev`` (the adjacent-pair great-circle the
+trace filter already computes in its window pass) instead of re-deriving it
+from (lon, lat) — together ~45%% less data through the traversal stage's
+sort + Python boundary, the stage BENCH_NOTES shows is memory-bandwidth
+bound at high core counts.
+
+Points with no candidate within the search radius never appear in the
+candidate set; the kernels detect them as GAPS in ``gps_idx`` (the dense
+per-doc point index the trace filter emits for free). Per-doc stats
+(t0, n_points) come from a map-side-combined aggregation of the points
+table (tiny shuffle) joined onto the traversal rows (small) after matching.
 
 Output: one row per matched edge traversal —
   (doc_id, edge_seq, edge_id, elapsed_time, n_pts, n_points, n_unmatched, t0)
@@ -31,10 +39,9 @@ within the search radius is 'unmatched').
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,15 +61,16 @@ RUN_SCHEMA = (
     "doc_id string, edge_seq int, edge_id long, end_time double, "
     "n_pts int, n_present int"
 )
-
-
-def _haversine_np(lon1, lat1, lon2, lat2):
-    lon1, lat1, lon2, lat2 = map(math.radians, (lon1, lat1, lon2, lat2))
-    a = (
-        math.sin((lat2 - lat1) / 2) ** 2
-        + math.cos(lat1) * math.cos(lat2) * math.sin((lon2 - lon1) / 2) ** 2
-    )
-    return 2 * math.asin(math.sqrt(a)) * EARTH_RADIUS_M
+_RUN_ARROW_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("edge_seq", pa.int32()),
+        ("edge_id", pa.int64()),
+        ("end_time", pa.float64()),
+        ("n_pts", pa.int32()),
+        ("n_present", pa.int32()),
+    ]
+)
 
 
 def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
@@ -73,17 +81,19 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
 
     Input carries ONLY points that have >=1 candidate; an unmatched point
     shows up as a gps_idx gap, which breaks the Viterbi chain exactly like
-    the explicit candidate-less row used to."""
-    cols0 = ["doc_id", "edge_seq", "edge_id", "end_time", "n_pts", "n_present"]
+    the explicit candidate-less row used to. ``gc_prev`` is the great-circle
+    meters to the previous point (by offset) — the transition model only
+    ever needs it between ADJACENT points (a gap breaks the chain), so the
+    precomputed column replaces per-pair haversine over (lon, lat)."""
+    cols = ["doc_id", "edge_seq", "edge_id", "end_time", "n_pts", "n_present"]
     if not len(pdf):  # a doc whose every point is unmatched has no rows
-        return pd.DataFrame(columns=cols0)
+        return pd.DataFrame(columns=cols)
     doc_id = pdf["doc_id"].iloc[0]
     pdf = pdf.sort_values(["gps_idx", "dist_m", "edge_id"], kind="mergesort")
 
     gidxs = pdf["gps_idx"].to_numpy()
     times = pdf["time"].to_numpy()
-    lons = pdf["lon"].to_numpy()
-    lats = pdf["lat"].to_numpy()
+    gcp = pdf["gc_prev"].to_numpy(dtype="float64", na_value=0.0)
     e_id = pdf["edge_id"].to_numpy(dtype="float64", na_value=np.nan)
     e_src = pdf["src"].to_numpy(dtype="float64", na_value=np.nan)
     e_dst = pdf["dst"].to_numpy(dtype="float64", na_value=np.nan)
@@ -94,13 +104,12 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
     # split row range into per-point slices (gps_idx values are sorted)
     uniq_g, starts = np.unique(gidxs, return_index=True)
     bounds = np.append(starts, len(gidxs))
-    pts = []  # (gps_idx, time, lon, lat, candidate row indices [top-k])
+    pts = []  # (gps_idx, time, gc_prev, candidate row indices [top-k])
     for i in range(len(uniq_g)):
         s, e = bounds[i], bounds[i + 1]
-        pts.append((int(gidxs[s]), times[s], lons[s], lats[s], list(range(s, e))[:k]))
+        pts.append((int(gidxs[s]), times[s], gcp[s], list(range(s, e))[:k]))
 
     n_present = len(pts)
-    cols = ["doc_id", "edge_seq", "edge_id", "end_time", "n_pts", "n_present"]
     if n_present == 0:
         return pd.DataFrame(columns=cols)
 
@@ -118,9 +127,9 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
             sel.append(int(b[sel[-1]]))
         sel.reverse()
         for p_i, c_i in zip(chain_pts, sel):
-            matched[p_i] = pts[p_i][4][c_i]
+            matched[p_i] = pts[p_i][3][c_i]
 
-    for p_i, (g, t, lon, lat, cands) in enumerate(pts):
+    for p_i, (g, t, gc, cands) in enumerate(pts):
         # a gps_idx gap = one or more unmatched points -> chain break
         if chain and g != pts[chain[-1]][0] + 1:
             flush(chain, prev_scores, prev_back)
@@ -133,8 +142,7 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
             prev_back = []
             continue
         q_i = chain[-1]
-        gc = _haversine_np(pts[q_i][2], pts[q_i][3], lon, lat)
-        pc = np.asarray(pts[q_i][4])
+        pc = np.asarray(pts[q_i][3])
         # vectorized route-distance matrix over (prev cands x cur cands)
         ida, sa, da = e_id[pc, None], e_src[pc, None], e_dst[pc, None]
         ta, la = e_t[pc, None], e_len[pc, None]
@@ -191,7 +199,7 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
         return tau_a + (tau_b - tau_a) * frac
 
     out = []
-    cur_edge, cur_n, cur_last_t, cur_last_pi, cur_last_c = None, 0, None, None, None
+    cur_edge, cur_n, cur_last_pi, cur_last_c = None, 0, None, None
     seq = 0
     for p_i in range(n_present):
         c = matched[p_i]
@@ -205,11 +213,10 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
                 seq += 1
             cur_edge, cur_n = eid, 0
         cur_n += 1
-        cur_last_t = pts[p_i][1]
         cur_last_pi = p_i
         cur_last_c = c
     if cur_edge is not None:
-        out.append((doc_id, seq, cur_edge, cur_last_t, cur_n, n_present))
+        out.append((doc_id, seq, cur_edge, pts[cur_last_pi][1], cur_n, n_present))
 
     return pd.DataFrame(out, columns=cols)
 
@@ -217,84 +224,45 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
 K_SLOTS = 4  # top-k candidates per point (padded width of the DP tensors)
 
 
-def viterbi_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Batch-vectorized Viterbi over MANY docs at once.
+def _viterbi_core(
+    doc_uniques,
+    p_doc: np.ndarray,
+    p_gidx: np.ndarray,
+    p_time: np.ndarray,
+    p_gc: np.ndarray,
+    c_id: np.ndarray,
+    c_src: np.ndarray,
+    c_dst: np.ndarray,
+    c_dist: np.ndarray,
+    c_t: np.ndarray,
+    c_len: np.ndarray,
+    valid: np.ndarray,
+) -> pd.DataFrame:
+    """Batch-vectorized Viterbi over per-point padded tensors.
 
-    Input rows sorted by (doc_id, offset, dist_m, edge_id). Emission and
-    transition tensors for the entire batch are built in single vectorized
-    shots — (P, k) and (P-1, k, k) ndarrays over all P points of all docs —
-    leaving only the inherently-sequential DP recurrence as a Python loop of
-    tiny (k,)/(k,k) ops. Produces EXACTLY the same traversals as
-    ``viterbi_one_doc`` (same candidate order, same first-wins argmax,
-    same chain-break semantics); equality is asserted in tests.
+    Inputs: P-length point arrays (doc code, gps_idx, time, gc_prev) and
+    (P, K_SLOTS) candidate tensors, points sorted by (doc, gps_idx) and
+    candidates by (dist_m, edge_id) within each point. Emission/transition
+    tensors are built in single vectorized shots; only the inherently
+    sequential DP recurrence is a Python loop of tiny (k,)/(k,k) ops.
+    Produces EXACTLY the same traversals as ``viterbi_one_doc`` (same
+    candidate order, same first-wins argmax, same chain-break semantics).
     """
     cols = ["doc_id", "edge_seq", "edge_id", "end_time", "n_pts", "n_present"]
-    if not len(pdf):
+    P = len(p_doc)
+    if P == 0:
         return pd.DataFrame(columns=cols)
-
-    doc_codes, doc_uniques = pd.factorize(pdf["doc_id"], sort=False)
-    offsets = pdf["gps_idx"].to_numpy()
-    times = pdf["time"].to_numpy(dtype="float64")
-    lons = pdf["lon"].to_numpy(dtype="float64")
-    lats = pdf["lat"].to_numpy(dtype="float64")
-    has_cand = pdf["edge_id"].notna().to_numpy()
-    e_id = pdf["edge_id"].to_numpy(dtype="float64", na_value=np.nan)
-    e_src = pdf["src"].to_numpy(dtype="float64", na_value=np.nan)
-    e_dst = pdf["dst"].to_numpy(dtype="float64", na_value=np.nan)
-    e_dist = pdf["dist_m"].to_numpy(dtype="float64", na_value=np.nan)
-    e_t = pdf["t_param"].to_numpy(dtype="float64", na_value=np.nan)
-    e_len = pdf["len_m"].to_numpy(dtype="float64", na_value=np.nan)
-
-    n_rows = len(pdf)
-    # point index: one per distinct (doc, offset), in row order
-    new_point = np.empty(n_rows, dtype=bool)
-    new_point[0] = True
-    new_point[1:] = (doc_codes[1:] != doc_codes[:-1]) | (offsets[1:] != offsets[:-1])
-    point_idx = np.cumsum(new_point) - 1
-    P = int(point_idx[-1]) + 1
-    point_start = np.flatnonzero(new_point)
-    slot = np.arange(n_rows) - point_start[point_idx]
-
-    # per-point arrays (from each point's first row)
-    p_doc = doc_codes[point_start]
-    p_gidx = offsets[point_start]  # gps_idx per present point
-    p_time = times[point_start]
-    p_lon = lons[point_start]
-    p_lat = lats[point_start]
-
-    # scatter candidate rows into (P, K) padded tensors
-    ok = has_cand & (slot < K_SLOTS)
-    pi, si = point_idx[ok], slot[ok]
-
-    def scat(src, fill):
-        out = np.full((P, K_SLOTS), fill, dtype="float64")
-        out[pi, si] = src[ok]
-        return out
-
-    c_id = scat(e_id, np.nan)
-    c_src = scat(e_src, np.nan)
-    c_dst = scat(e_dst, np.nan)
-    c_dist = scat(e_dist, np.inf)
-    c_t = scat(e_t, 0.0)
-    c_len = scat(e_len, 0.0)
-    valid = np.zeros((P, K_SLOTS), dtype=bool)
-    valid[pi, si] = True
     p_has = valid.any(axis=1)
 
     NEG = -1e30
     emis = np.where(valid, -0.5 * (c_dist / SIGMA_M) ** 2, NEG)
 
     # pairwise tensors between consecutive points (within the batch; pairs
-    # crossing doc boundaries are masked off in the DP loop)
+    # crossing doc boundaries are masked off in the DP loop). gc between
+    # point p-1 and p = p's gc_prev (only ever consumed when the pair is
+    # gps_idx-adjacent in the same doc — exactly when the chain continues).
     if P > 1:
-        lon1, lat1 = np.radians(p_lon[:-1]), np.radians(p_lat[:-1])
-        lon2, lat2 = np.radians(p_lon[1:]), np.radians(p_lat[1:])
-        aa = (
-            np.sin((lat2 - lat1) / 2) ** 2
-            + np.cos(lat1) * np.cos(lat2) * np.sin((lon2 - lon1) / 2) ** 2
-        )
-        gc = 2 * np.arcsin(np.sqrt(aa)) * EARTH_RADIUS_M  # (P-1,)
-
+        gc = p_gc[1:]  # (P-1,)
         ida, idb = c_id[:-1, :, None], c_id[1:, None, :]
         sa, sb = c_src[:-1, :, None], c_src[1:, None, :]
         da, db = c_dst[:-1, :, None], c_dst[1:, None, :]
@@ -434,7 +402,7 @@ def viterbi_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
     return pd.DataFrame(
         {
-            "doc_id": doc_uniques[run_doc],
+            "doc_id": np.asarray(doc_uniques)[run_doc],
             "edge_seq": edge_seq.astype("int32"),
             "edge_id": run_edge,
             "end_time": run_last_time,
@@ -444,42 +412,187 @@ def viterbi_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _viterbi_partition(batches):
-    """mapInPandas kernel: rows arrive repartitioned by doc_id and sorted by
-    (doc_id, gps_idx, dist_m, edge_id); the batch-vectorized Viterbi runs
-    over each ~10k-row Arrow batch (one call per batch, not per doc).
-
-    A doc can straddle two Arrow batches of the same partition, so the last
-    (possibly incomplete) doc of each batch is buffered into the next.
+def viterbi_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Batch-vectorized Viterbi over MANY docs at once, FLAT candidate rows
+    (one row per (point, candidate), sorted by (doc_id, gps_idx, dist_m,
+    edge_id)). Test/back-compat surface: builds the per-point padded
+    tensors and delegates to ``_viterbi_core`` — the production path
+    (``match_traces``) feeds the same core from Arrow list batches instead.
+    Byte-equal to per-doc ``viterbi_one_doc``; asserted in tests.
     """
-    buf = None
-    for pdf in batches:
-        if buf is not None and len(buf):
-            pdf = pd.concat([buf, pdf], ignore_index=True)
-        if not len(pdf):
+    cols = ["doc_id", "edge_seq", "edge_id", "end_time", "n_pts", "n_present"]
+    if not len(pdf):
+        return pd.DataFrame(columns=cols)
+
+    doc_codes, doc_uniques = pd.factorize(pdf["doc_id"], sort=False)
+    offsets = pdf["gps_idx"].to_numpy()
+    times = pdf["time"].to_numpy(dtype="float64")
+    gcp = pdf["gc_prev"].to_numpy(dtype="float64", na_value=0.0)
+    has_cand = pdf["edge_id"].notna().to_numpy()
+    e_id = pdf["edge_id"].to_numpy(dtype="float64", na_value=np.nan)
+    e_src = pdf["src"].to_numpy(dtype="float64", na_value=np.nan)
+    e_dst = pdf["dst"].to_numpy(dtype="float64", na_value=np.nan)
+    e_dist = pdf["dist_m"].to_numpy(dtype="float64", na_value=np.nan)
+    e_t = pdf["t_param"].to_numpy(dtype="float64", na_value=np.nan)
+    e_len = pdf["len_m"].to_numpy(dtype="float64", na_value=np.nan)
+
+    n_rows = len(pdf)
+    # point index: one per distinct (doc, offset), in row order
+    new_point = np.empty(n_rows, dtype=bool)
+    new_point[0] = True
+    new_point[1:] = (doc_codes[1:] != doc_codes[:-1]) | (offsets[1:] != offsets[:-1])
+    point_idx = np.cumsum(new_point) - 1
+    P = int(point_idx[-1]) + 1
+    point_start = np.flatnonzero(new_point)
+    slot = np.arange(n_rows) - point_start[point_idx]
+
+    # per-point arrays (from each point's first row)
+    p_doc = doc_codes[point_start]
+    p_gidx = offsets[point_start]  # gps_idx per present point
+    p_time = times[point_start]
+    p_gc = gcp[point_start]
+
+    # scatter candidate rows into (P, K) padded tensors
+    ok = has_cand & (slot < K_SLOTS)
+    pi, si = point_idx[ok], slot[ok]
+
+    def scat(src, fill):
+        out = np.full((P, K_SLOTS), fill, dtype="float64")
+        out[pi, si] = src[ok]
+        return out
+
+    c_id = scat(e_id, np.nan)
+    c_src = scat(e_src, np.nan)
+    c_dst = scat(e_dst, np.nan)
+    c_dist = scat(e_dist, np.inf)
+    c_t = scat(e_t, 0.0)
+    c_len = scat(e_len, 0.0)
+    valid = np.zeros((P, K_SLOTS), dtype=bool)
+    valid[pi, si] = True
+
+    return _viterbi_core(
+        doc_uniques, p_doc, p_gidx, p_time, p_gc,
+        c_id, c_src, c_dst, c_dist, c_t, c_len, valid,
+    )
+
+
+# Arrow struct-field order matters twice: array_sort on the JVM side orders
+# candidates lexicographically by field position — (dist_m, edge_id) first
+# gives exactly the kernels' deterministic tie-break — and the kernel reads
+# the child arrays back by these names.
+CAND_STRUCT_FIELDS = ["dist_m", "edge_id", "src", "dst", "t_param", "len_m"]
+
+
+def _viterbi_table(tbl: pa.Table) -> pd.DataFrame:
+    """One-row-per-point Arrow table -> traversal runs via _viterbi_core."""
+    cols = ["doc_id", "edge_seq", "edge_id", "end_time", "n_pts", "n_present"]
+    if tbl.num_rows == 0:
+        return pd.DataFrame(columns=cols)
+    doc_codes, doc_uniques = pd.factorize(
+        tbl.column("doc_id").to_pandas(), sort=False
+    )
+    p_gidx = tbl.column("gps_idx").to_numpy().astype(np.int64)
+    p_time = tbl.column("time").to_numpy().astype(np.float64)
+    p_gc = tbl.column("gc_prev").to_numpy().astype(np.float64)
+
+    cands = tbl.column("cands")
+    if isinstance(cands, pa.ChunkedArray):
+        cands = cands.combine_chunks()
+        if isinstance(cands, pa.ChunkedArray):  # older pyarrow keeps the wrapper
+            cands = cands.chunk(0) if cands.num_chunks == 1 else pa.concat_arrays(
+                cands.chunks
+            )
+    off = cands.offsets.to_numpy().astype(np.int64)  # absolute into .values
+    counts = np.diff(off)
+    vals = cands.values  # flat StructArray (absolute indexing)
+    lo, hi = int(off[0]), int(off[-1])
+    flat = {f: vals.field(f).to_numpy(zero_copy_only=False)[lo:hi] for f in CAND_STRUCT_FIELDS}
+
+    P = tbl.num_rows
+    pi_all = np.repeat(np.arange(P), counts)
+    slot_all = np.arange(hi - lo) - np.repeat(off[:-1] - lo, counts)
+    ok = slot_all < K_SLOTS
+    pi, si = pi_all[ok], slot_all[ok]
+
+    def scat(src, fill):
+        out = np.full((P, K_SLOTS), fill, dtype="float64")
+        out[pi, si] = src[ok]
+        return out
+
+    c_dist = scat(flat["dist_m"], np.inf)
+    c_id = scat(flat["edge_id"].astype(np.float64), np.nan)
+    c_src = scat(flat["src"].astype(np.float64), np.nan)
+    c_dst = scat(flat["dst"].astype(np.float64), np.nan)
+    c_t = scat(flat["t_param"], 0.0)
+    c_len = scat(flat["len_m"], 0.0)
+    valid = np.zeros((P, K_SLOTS), dtype=bool)
+    valid[pi, si] = True
+
+    return _viterbi_core(
+        doc_uniques, doc_codes, p_gidx, p_time, p_gc,
+        c_id, c_src, c_dst, c_dist, c_t, c_len, valid,
+    )
+
+
+def _runs_to_arrow(out: pd.DataFrame) -> pa.RecordBatch:
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(out["doc_id"], pa.string()),
+            pa.array(out["edge_seq"].to_numpy(), pa.int32()),
+            pa.array(out["edge_id"].to_numpy(), pa.int64()),
+            pa.array(out["end_time"].to_numpy(), pa.float64()),
+            pa.array(out["n_pts"].to_numpy(), pa.int32()),
+            pa.array(out["n_present"].to_numpy(), pa.int32()),
+        ],
+        schema=_RUN_ARROW_SCHEMA,
+    )
+
+
+def _viterbi_partition_arrow(batches):
+    """mapInArrow kernel: one-row-per-point batches arrive sorted by
+    (doc_id, gps_idx) with the candidate struct array pre-sorted by
+    (dist_m, edge_id) (JVM array_sort). A doc can straddle two Arrow
+    batches of the same partition, so the last (possibly incomplete) doc
+    of each batch is buffered into the next.
+    """
+    buf: pa.Table | None = None
+    for rb in batches:
+        tbl = pa.Table.from_batches([rb])
+        if buf is not None and buf.num_rows:
+            tbl = pa.concat_tables([buf, tbl]).combine_chunks()
+        if tbl.num_rows == 0:
             continue
-        last_doc = pdf["doc_id"].iloc[-1]
-        mask = (pdf["doc_id"] == last_doc).to_numpy()
-        buf = pdf.iloc[mask.nonzero()[0]]
-        main = pdf.iloc[(~mask).nonzero()[0]]
-        if len(main):
-            out = viterbi_batch(main)
+        doc = tbl.column("doc_id").to_pandas().to_numpy()
+        split_mask = doc != doc[-1]
+        split = int(split_mask.nonzero()[0][-1]) + 1 if split_mask.any() else 0
+        buf = tbl.slice(split)
+        main = tbl.slice(0, split)
+        if main.num_rows:
+            out = _viterbi_table(main)
             if len(out):
-                yield out
-    if buf is not None and len(buf):
-        out = viterbi_batch(buf)
+                yield _runs_to_arrow(out)
+    if buf is not None and buf.num_rows:
+        out = _viterbi_table(buf)
         if len(out):
-            yield out
+            yield _runs_to_arrow(out)
 
 
 def with_gps_index(points: DataFrame) -> DataFrame:
-    """Dense 0-based per-doc point index, ordered by offset. filter_traces
-    emits this for free inside its existing window pass; use this helper
-    only when feeding the matcher from raw (unfiltered) points."""
+    """Dense 0-based per-doc point index (ordered by offset) + ``gc_prev``
+    (great-circle meters to the previous point). filter_traces emits both
+    for free inside its existing window pass; use this helper only when
+    feeding the matcher from raw (unfiltered) points."""
     from pyspark.sql import Window
 
+    from conflation_spark.operators.trace_filter import haversine_m
+
     w = Window.partitionBy("doc_id").orderBy("offset")
-    return points.withColumn("gps_idx", (F.row_number().over(w) - 1).cast("int"))
+    d = haversine_m(
+        F.lag("lon").over(w), F.lag("lat").over(w), F.col("lon"), F.col("lat")
+    )
+    return points.withColumn(
+        "gps_idx", (F.row_number().over(w) - 1).cast("int")
+    ).withColumn("gc_prev", F.coalesce(d, F.lit(0.0)))
 
 
 def match_traces(
@@ -487,15 +600,24 @@ def match_traces(
 ) -> DataFrame:
     """points + candidate rows -> traversal rows (MATCH_SCHEMA).
 
-    SINGLE-shuffle physical shape: only the candidate rows (which already
-    carry each point's time/lon/lat and gps_idx) are repartitioned by
-    doc_id, sorted in-partition, and streamed through the Viterbi
-    mapInPandas. A point with no candidate within the search radius is a
-    gps_idx GAP — it breaks the Viterbi chain and counts toward the M1
-    unmatched ratio exactly like Valhalla's unmatched matched_points — so
-    the full points table never has to be joined back onto the candidates
-    (the round-1 form paid a second full shuffle + a sort-merge join of the
-    pipeline's largest intermediate for that).
+    Physical shape (zero extra shuffles off the bucketed checkpoint):
+    candidate rows are collapsed to ONE ROW PER POINT — an in-partition
+    hash aggregation on (doc_id, gps_idx) whose clustering requirement is
+    satisfied by hash(doc_id) partitioning (subset co-partitioning; the
+    session sets requireAllClusterKeysForCoPartition=false) — with the
+    per-point candidates packed into a struct array that JVM ``array_sort``
+    orders by (dist_m, edge_id), the kernels' deterministic tie-break.
+    Then one repartition by doc_id (ELIDED when the input already carries
+    hash(doc_id) partitioning, e.g. reading the bucketed filtered_points
+    checkpoint), sortWithinPartitions(doc_id, gps_idx), and a mapInArrow
+    Viterbi over the point rows. vs the flat-row round-2 form this sends
+    ~45% fewer bytes through the stage's sort + Arrow boundary (point
+    attrs once per point instead of once per candidate; gc_prev instead
+    of lon+lat).
+
+    A point with no candidate within the search radius is a gps_idx GAP —
+    it breaks the Viterbi chain and counts toward the M1 unmatched ratio
+    exactly like Valhalla's unmatched matched_points.
 
     ``points`` is consumed only for per-doc stats (t0 = first point time,
     n_points): a map-side-combined aggregation whose shuffle is one row per
@@ -504,19 +626,33 @@ def match_traces(
     Doc sizes are bounded (~10^2 points), so hash partitioning by doc_id is
     skew-safe even with hot urban cells.
     """
-    if "gps_idx" not in candidates.columns:
-        raise ValueError(
-            "candidates must carry gps_idx — build them from filter_traces "
-            "output or matching.with_gps_index(points)"
-        )
+    for req in ("gps_idx", "gc_prev"):
+        if req not in candidates.columns:
+            raise ValueError(
+                f"candidates must carry {req} — build them from filter_traces "
+                "output or matching.with_gps_index(points)"
+            )
     spark = points.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
-    cand = candidates.select(
-        "doc_id", "gps_idx", "time", "lon", "lat",
-        "edge_id", "src", "dst", "dist_m", "t_param", "len_m",
-    ).repartition(p, "doc_id")
-    arranged = cand.sortWithinPartitions("doc_id", "gps_idx", "dist_m", "edge_id")
-    runs = arranged.mapInPandas(_viterbi_partition, schema=RUN_SCHEMA)
+    cand_struct = F.struct(*[F.col(f) for f in CAND_STRUCT_FIELDS])
+    # repartition FIRST: hash(doc_id, p) satisfies the aggregation's
+    # (doc_id, gps_idx) clustering as a subset, so the agg runs
+    # in-partition with NO further exchange — and when the candidates
+    # already carry hash(doc_id) partitioning (bucketed checkpoint), the
+    # repartition itself elides, making the whole stage shuffle-free.
+    per_point = (
+        candidates.repartition(p, "doc_id")
+        .groupBy("doc_id", "gps_idx")
+        .agg(
+            F.first("time").alias("time"),
+            F.first("gc_prev").alias("gc_prev"),
+            F.array_sort(F.collect_list(cand_struct)).alias("cands"),
+        )
+        .sortWithinPartitions("doc_id", "gps_idx")
+    )
+    runs = per_point.mapInArrow(
+        _viterbi_partition_arrow, schema=RUN_SCHEMA
+    )
     meta = points.groupBy("doc_id").agg(
         F.min_by("time", "offset").alias("t0"),
         F.count(F.lit(1)).cast("int").alias("n_points"),

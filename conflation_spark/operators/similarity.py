@@ -8,13 +8,14 @@
   Q x k x n_batches survivors to Q x k. O(Q x N) compute, fully
   distributed, no corpus collection, no interpreted per-pair lambdas
   (CLAUDE.md rule 3: HOF lambdas on join paths are 10-100x traps).
-- hyperplane-LSH bucketed ANN: the scale path. h random hyperplanes ->
-  h-bit signature via one numpy matmul per batch
-  (``functions.kernels.hyperplane_signature`` — shared with datagen so the
-  DuckDB oracle can read the fixture's precomputed ``lsh_bucket`` column);
-  probe the query's bucket plus all Hamming-1 neighbors (multi-probe).
-  The candidate join is an equi-join on bucket id, so at 10^12 vectors the
-  fan-out is bucket-local; candidate cosines are vectorized per batch.
+- multi-table hyperplane-LSH ANN: the scale path. n_tables independent
+  h-bit signatures via ONE banded numpy matmul per batch
+  (``functions.kernels.banded_hyperplane_signature`` — shared with datagen
+  so the DuckDB oracle can read the fixture's precomputed ``lsh_buckets``
+  column); probe each table at the query's bucket plus all Hamming-1
+  neighbors. The candidate join is an equi-join on (table, bucket), so at
+  10^12 vectors the fan-out is bucket-local; candidate cosines are
+  vectorized per batch.
 """
 
 from __future__ import annotations
@@ -30,8 +31,14 @@ from conflation_spark.functions.kernels import (
     stack_vectors,
 )
 
-# the LSH family used for the `lsh_bucket` fixture column (datagen_text)
-ANN_N_PLANES = 8
+# the multi-table LSH family used for the `lsh_buckets` fixture column
+# (datagen_text): ANN_N_TABLES independent tables of ANN_N_PLANES bits each,
+# drawn as one (tables x bits) plane matrix and banded — one table per band.
+# Sizing: per-table bits ~ log2(N / target_bucket_size); tables multiply
+# recall (miss = (1 - p_hit)^tables). 8 x 10 bits measures recall@10 = 0.97
+# at ~11% candidate fraction on the clustered bench corpus.
+ANN_N_TABLES = 8
+ANN_N_PLANES = 10
 ANN_DIM = 64
 ANN_SEED = 42
 
@@ -236,10 +243,24 @@ def ivf_topk(
     return _topk_window(scored, k)
 
 
+def lsh_tables_udf(planes: np.ndarray, n_tables: int):
+    """pandas_udf: array<double> column -> array of n_tables bucket ids
+    (one banded matmul per Arrow batch; each band is one LSH table).
+    Nondeterministic-marked as a planning fence like ``signature_udf``."""
+    from conflation_spark.functions.kernels import banded_hyperplane_signature
+
+    def sig(col: pd.Series) -> pd.Series:
+        vals = banded_hyperplane_signature(stack_vectors(col), planes, n_tables)
+        return pd.Series(list(vals))
+
+    return F.pandas_udf(sig, "array<long>").asNondeterministic()
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
+    n_tables: int = ANN_N_TABLES,
     n_planes: int = ANN_N_PLANES,
     dim: int = ANN_DIM,
     seed: int = ANN_SEED,
@@ -247,31 +268,59 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """ANN top-k: candidates = same LSH bucket or any Hamming-1 bucket
-    (multi-probe), then exact cosine rank within candidates.
+    """Multi-table hyperplane-LSH ANN top-k: candidates = union over
+    ``n_tables`` independent tables of {query's bucket + all Hamming-1
+    buckets} (multi-probe), deduped, then exact cosine rank.
 
-    Probe buckets are all distinct and each corpus vector has exactly one
-    bucket, so a (query, neighbor) pair can match at most once — no
-    distinct/dedup shuffle is needed.
+    Single-table LSH recall collapses for moderate-cosine neighbors (one
+    8-bit table measured recall@10 = 0.16); independent tables multiply it:
+    miss = (1 - p_table)^n_tables. The candidate join stays bucket-local —
+    an equi-join on (table_idx, bucket) — so the fan-out at 10^12 vectors is
+    n_tables x (n_planes + 1) buckets per query, each ~N/2^n_planes vectors.
+    A (query, neighbor) pair can collide in several tables, so candidates
+    are deduped (distinct) before the vector join; the dedup shuffle carries
+    only id pairs.
     """
-    planes = lsh_planes(n_planes, dim, seed)
-    sig = signature_udf(planes)
+    planes = lsh_planes(n_tables * n_planes, dim, seed)
+    sig = lsh_tables_udf(planes, n_tables)
     e = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("evec"),
-        sig(F.col(vec_col)).alias("bucket"),
+        F.posexplode(sig(F.col(vec_col))).alias("tbl", "bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        sig(F.col(vec_col)).alias("qbucket"),
+        sig(F.col(vec_col)).alias("qbuckets"),
     )
-    # multi-probe: own bucket (mask 0) + all n_planes Hamming-1 buckets
+    # multi-probe per table: own bucket (mask 0) + all n_planes Hamming-1
     masks = F.array(F.lit(0).cast("long"), *[F.lit(1 << i).cast("long") for i in range(n_planes)])
-    qp = F.broadcast(
-        q.withColumn("bucket", F.explode(F.transform(masks, lambda m: F.col("qbucket").bitwiseXOR(m))))
+    qp = q.select(
+        "query_id",
+        "qvec",
+        F.posexplode("qbuckets").alias("tbl", "qb"),
+    ).select(
+        "query_id",
+        "qvec",
+        "tbl",
+        F.explode(F.transform(masks, lambda m: F.col("qb").bitwiseXOR(m))).alias("bucket"),
     )
-    joined = qp.join(e, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
+    cand = (
+        F.broadcast(qp.select("query_id", "tbl", "bucket"))
+        .join(e.select("neighbor_id", "tbl", "bucket"), ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    ev = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("evec")
+    )
+    # the pair set is bounded (|queries| x candidate fraction), so BROADCAST
+    # it for the vector gather — the corpus is scanned once, never shuffled
+    joined = F.broadcast(cand.join(F.broadcast(qv), "query_id")).join(ev, "neighbor_id")
     scored = joined.select("query_id", "qvec", "neighbor_id", "evec").mapInPandas(
         _cosine_pairs_kernel, schema=TOPK_SCHEMA
     )

@@ -149,6 +149,11 @@ def filter_traces(points: DataFrame, min_points: int | None = None) -> DataFrame
 
     df = points.withColumn("_ttime", F.last("time").over(w_full) - F.first("time").over(w_full))
     df = df.withColumn("gps_idx", (F.row_number().over(w_ord) - 1).cast("int"))
+    # gc_prev: great-circle meters to the PREVIOUS point (0 for the first).
+    # Free here (the ordered window already exists); the matcher's transition
+    # model consumes it directly, so candidate rows don't have to carry
+    # (lon, lat) through the traversal stage's sort + Arrow boundary.
+    df = df.withColumn("gc_prev", F.coalesce(d, F.lit(0.0)))
     df = (
         df.withColumn("_n", F.count(F.lit(1)).over(w_all))
         .withColumn("_dist", F.coalesce(F.sum(pair_d).over(w_all), F.lit(0.0)))

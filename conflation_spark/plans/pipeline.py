@@ -23,6 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 STAGES = ["filtered_points", "traversals", "measurements"]
 
+# skew-warning thresholds: max/mean partition rows above the ratio on a
+# meaningfully-partitioned stage indicates a hot key
+SKEW_WARN_RATIO = 4.0
+SKEW_MIN_PARTITIONS = 8
+
 
 def _ckpt(work_dir: str, stage: str) -> str:
     return os.path.join(work_dir, "checkpoints", stage)
@@ -110,6 +115,8 @@ def _write_stage(
             "n": n_buckets,
             "ddl": df._jdf.schema().toDDL(),
         }
+    mean_rows = sum(part_rows) / len(part_rows)
+    skew_ratio = round(max(part_rows) / mean_rows, 2) if mean_rows > 0 else 1.0
     manifest = {
         "stage": stage,
         "inputs": inputs,
@@ -122,9 +129,23 @@ def _write_stage(
         # skew indicators: a hot partition shows up as max_rows >> mean
         "max_partition_rows": max(part_rows),
         "min_partition_rows": min(part_rows),
-        "mean_partition_rows": round(sum(part_rows) / len(part_rows), 1),
+        "mean_partition_rows": round(mean_rows, 1),
+        "skew_ratio": skew_ratio,
         "parts": parts,
     }
+    # surface skew instead of burying it in JSON: at 100x scale a hot
+    # partition (one doc_id/key drawing a disproportionate share) turns
+    # into a straggler task — warn while the run context is still visible
+    if len(parts) >= SKEW_MIN_PARTITIONS and skew_ratio > SKEW_WARN_RATIO:
+        import warnings
+
+        warnings.warn(
+            f"stage '{stage}': skewed partitions (max {max(part_rows)} rows "
+            f"= {skew_ratio}x the mean {round(mean_rows, 1)} across "
+            f"{len(parts)} partitions) — a hot key; consider salting or a "
+            "different partition count",
+            stacklevel=2,
+        )
     os.makedirs(os.path.dirname(_lineage_path(work_dir, stage)), exist_ok=True)
     tmp = _lineage_path(work_dir, stage) + ".tmp"
     with open(tmp, "w") as f:

@@ -157,7 +157,7 @@ def test_viterbi_batch_equals_per_doc(spark, fixture_dir):
     pts = filter_traces(decode_points(docs))
     edges = spark.read.parquet(f"{fixture_dir}/edges.parquet")
     cand = candidate_edges(pts, edges).select(
-        "doc_id", "gps_idx", "time", "lon", "lat",
+        "doc_id", "gps_idx", "time", "gc_prev",
         "edge_id", "src", "dst", "dist_m", "t_param", "len_m",
     )
     pdf = cand.toPandas().sort_values(
@@ -177,6 +177,67 @@ def test_viterbi_batch_equals_per_doc(spark, fixture_dir):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     import numpy as np
 
+    assert np.allclose(got["end_time"], want["end_time"], atol=1e-9)
+
+
+def test_arrow_kernel_equals_flat(spark, fixture_dir):
+    """The production mapInArrow path (one row per point, candidates as a
+    sorted struct array, doc-straddling batches) must produce exactly the
+    flat-row kernel's traversals."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from conflation_spark.operators.matching import (
+        CAND_STRUCT_FIELDS,
+        _viterbi_partition_arrow,
+        viterbi_batch,
+    )
+
+    docs = load_documents(spark, fixture_dir)
+    pts = filter_traces(decode_points(docs))
+    edges = spark.read.parquet(f"{fixture_dir}/edges.parquet")
+    cand = candidate_edges(pts, edges).select(
+        "doc_id", "gps_idx", "time", "gc_prev",
+        "edge_id", "src", "dst", "dist_m", "t_param", "len_m",
+    )
+    pdf = cand.toPandas().sort_values(
+        ["doc_id", "gps_idx", "dist_m", "edge_id"], kind="mergesort"
+    ).reset_index(drop=True)
+    want = viterbi_batch(pdf).sort_values(["doc_id", "edge_seq"]).reset_index(drop=True)
+
+    # per-point shape: group the flat rows (already candidate-sorted)
+    keys = pdf.groupby(["doc_id", "gps_idx"], sort=False)
+    heads = keys[["time", "gc_prev"]].first().reset_index()
+    field_types = {
+        "dist_m": pa.float64(), "edge_id": pa.int64(), "src": pa.int64(),
+        "dst": pa.int64(), "t_param": pa.float64(), "len_m": pa.float64(),
+    }
+    cand_type = pa.struct([(f, field_types[f]) for f in CAND_STRUCT_FIELDS])
+    cands_col = [
+        [{f: row[f] for f in CAND_STRUCT_FIELDS} for _, row in g.iterrows()]
+        for _, g in keys
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(heads["doc_id"], pa.string()),
+            "gps_idx": pa.array(heads["gps_idx"].to_numpy(), pa.int32()),
+            "time": pa.array(heads["time"].to_numpy(), pa.float64()),
+            "gc_prev": pa.array(heads["gc_prev"].to_numpy(), pa.float64()),
+            "cands": pa.array(cands_col, pa.list_(cand_type)),
+        }
+    )
+    # small batches so many docs straddle a batch boundary
+    outs = list(_viterbi_partition_arrow(iter(tbl.to_batches(max_chunksize=37))))
+    got = (
+        pa.Table.from_batches(outs)
+        .to_pandas()
+        .sort_values(["doc_id", "edge_seq"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ["doc_id", "edge_seq", "edge_id", "n_pts", "n_present"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     assert np.allclose(got["end_time"], want["end_time"], atol=1e-9)
 
 

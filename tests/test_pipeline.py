@@ -157,3 +157,35 @@ def test_bucketed_checkpoint_traversal_is_shuffle_free(spark, fixture_dir, tmp_p
     spark.sql(f"DROP TABLE IF EXISTS {_table_name(work, 'filtered_points')}")
     refiltered = read_stage(spark, work, "filtered_points")
     assert refiltered.count() == filtered.count()
+
+
+def test_skew_warning_on_hot_key(spark, tmp_path):
+    """A planted hot doc_id (one key owning most rows) must trigger the
+    stage-write skew warning; a uniform key space must not."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from conflation_spark.plans.pipeline import _write_stage, read_lineage
+
+    hot = spark.range(4000).select(
+        F.lit("hot_doc").alias("doc_id"), F.col("id").alias("v")
+    )
+    cool = spark.range(512).select(
+        F.concat(F.lit("d"), F.col("id") % 256).alias("doc_id"), F.col("id").alias("v")
+    )
+    work = str(tmp_path / "skew_work")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _write_stage(
+            hot.union(cool), work, "hotstage", [], {}, bucket_by=["doc_id"], n_buckets=16
+        )
+    msgs = [str(w.message) for w in caught]
+    assert any("skewed partitions" in m and "hotstage" in m for m in msgs), msgs
+    man = read_lineage(work, "hotstage")
+    assert man["skew_ratio"] > 4.0
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _write_stage(cool, work, "coolstage", [], {}, bucket_by=["doc_id"], n_buckets=16)
+    assert not any("skewed partitions" in str(w.message) for w in caught)

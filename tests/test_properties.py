@@ -72,20 +72,21 @@ def candidate_frames(draw):
         t = 0.0
         for gidx in range(n_pts):
             t += float(rng.uniform(0.5, 4.0))
-            lon = 10.0 + gidx * 4e-4 + rng.normal(0, 1e-5)
-            lat = 35.0 + rng.normal(0, 1e-5)
+            # gc_prev: great-circle meters to the previous point (0 at the
+            # doc start) — the matcher consumes the precomputed column
+            gc_prev = 0.0 if gidx == 0 else float(rng.uniform(0.0, 120.0))
             n_cand = int(rng.integers(0, 4))  # 0 => unmatched => idx gap
             for c in range(n_cand):
                 eid = int(rng.integers(0, 6))
                 rows.append((
-                    f"d{d}", gidx, t, lon, lat,
+                    f"d{d}", gidx, t, gc_prev,
                     float(eid), float(eid), float(eid + 1),
                     float(rng.uniform(0, 30)), float(rng.uniform(0, 1)),
                     float(rng.uniform(50, 300)),
                 ))
     pdf = pd.DataFrame(
         rows,
-        columns=["doc_id", "gps_idx", "time", "lon", "lat",
+        columns=["doc_id", "gps_idx", "time", "gc_prev",
                  "edge_id", "src", "dst", "dist_m", "t_param", "len_m"],
     )
     return pdf.sort_values(

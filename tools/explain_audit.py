@@ -98,10 +98,17 @@ def main():
     pts = filter_traces(decode_points(docs))
     p6 = plan_of(match_traces(pts, candidate_edges(pts, edges)))
     n_repart = len(re.findall(r"REPARTITION_BY_COL", p6))
-    has_mip = "MapInPandas" in p6
-    print(f"[6] matcher: MapInPandas={has_mip}, candidate repartitions={n_repart}")
-    if not has_mip:
-        failures.append("matcher lost its MapInPandas stage")
+    has_kernel = ("MapInArrow" in p6) or ("MapInPandas" in p6)
+    # the per-point aggregation must REUSE the doc_id partitioning (subset
+    # co-partitioning) — an ENSURE_REQUIREMENTS exchange on (doc_id,
+    # gps_idx) would mean the collapse pays its own shuffle
+    agg_exch = len(re.findall(r"Exchange hashpartitioning\(doc_id#\d+, gps_idx#\d+", p6))
+    print(
+        f"[6] matcher: arrow kernel={has_kernel}, candidate repartitions={n_repart}, "
+        f"per-point agg exchanges={agg_exch}"
+    )
+    if not has_kernel:
+        failures.append("matcher lost its MapInArrow/MapInPandas stage")
     # 0 = fed straight from filter_traces, whose window exchange already
     # partitions by doc_id and the explicit repartition is elided;
     # 1 = fed from a checkpoint. >1 would mean the candidate stream is
@@ -109,6 +116,11 @@ def main():
     if n_repart > 1:
         failures.append(
             f"matcher shuffles the candidate stream more than once ({n_repart})"
+        )
+    if agg_exch:
+        failures.append(
+            "per-point candidate aggregation added its own exchange "
+            "(subset co-partitioning not honored)"
         )
 
     if failures:
