@@ -550,6 +550,33 @@ def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_signup_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): every event gets the user's most
+    recent signup event at-or-before it, plus the lag in ms. Scale shape:
+    union + one keyed shuffle + running window — never a range join
+    (operators/temporal.py). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from conflation_spark.operators.temporal import asof_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    anchors = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_type") == "signup")
+        .select("user_id", "ts", F.col("event_id").alias("signup_event"))
+    )
+    j = asof_join(e, anchors, ["user_id"], "ts", "ts", ["signup_event"])
+    ts_s = F.col("ts").cast("timestamp").cast("double")
+    ats_s = F.col("anchor_ts").cast("timestamp").cast("double")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.round(ts_s * 1000).cast("long").alias("ts_ms"),
+        F.col("anchor_signup_event").alias("signup_event"),
+        F.round((ts_s - ats_s) * 1000).cast("long").alias("lag_ms"),
+    )
+
+
 def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -603,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": _q_region_revenue,
         "event_sessions": _q_event_sessions,
         "event_windows": _q_event_windows,
+        "asof_signup_lag": _q_asof_signup_lag,
     }
 
 
@@ -1172,6 +1200,17 @@ JOIN customer ON c_nationkey = n_nationkey
 JOIN orders ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY r_name, n_name
+""",
+        # as-of join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle for the
+        # union+window formulation (backward, inclusive, per-user)
+        "asof_signup_lag": """
+WITH e AS (SELECT event_id, user_id, ts FROM events),
+a AS (SELECT user_id, ts, event_id AS signup_event FROM events WHERE event_type = 'signup')
+SELECT e.event_id, e.user_id,
+       CAST(round(epoch(e.ts) * 1000) AS BIGINT) AS ts_ms,
+       a.signup_event,
+       CAST(round((epoch(e.ts) - epoch(a.ts)) * 1000) AS BIGINT) AS lag_ms
+FROM e ASOF LEFT JOIN a ON e.user_id = a.user_id AND e.ts >= a.ts
 """,
         "event_sessions": """
 WITH g AS (

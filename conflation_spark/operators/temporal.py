@@ -1,0 +1,104 @@
+"""Temporal joins for event streams: as-of join (+ lag-to-anchor).
+
+The reference has no temporal-join operator (its pipeline is spatial), but
+a training-data/event pipeline needs one constantly: attach the most recent
+dimension state / anchor event at-or-before each fact row. Spark has no
+built-in ASOF JOIN (DuckDB/pandas do), and the naive formulation —
+``l JOIN r ON l.key = r.key AND r.ts <= l.ts`` + a max-window — is a RANGE
+join: Catalyst plans it as a broadcast-nested-loop or a per-key cartesian,
+f^2 rows per hot key. The scale shape used here instead:
+
+    UNION the two streams with a side marker
+    -> ONE hash shuffle on the key
+    -> ordered window (ts, side) carrying the last-seen right payload
+       (``last(_rv, ignorenulls=True)``, running frame)
+    -> keep left rows, unpack the carried payload
+
+Cost: one shuffle + one in-partition sort of |L| + |R| rows, zero join
+blowup, hot keys bounded by the window (linear scan), AQE-compatible.
+Matches DuckDB ``ASOF LEFT JOIN`` semantics (greatest right.ts <= left.ts
+per key, inclusive) — the correctness gate runs both side by side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "anchor_",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` within the same key (backward as-of, inclusive;
+    LEFT semantics — left rows with no prior right row keep NULLs).
+
+    ``right_cols``: right payload columns to carry (default: all non-key,
+    non-ts columns), emitted as ``{prefix}{col}`` plus ``{prefix}ts``.
+
+    Right rows must be unique per (key, ts) — the standard as-of contract
+    (DuckDB raises the same requirement for a deterministic result).
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in set(key_cols) | {right_ts}
+    ]
+    payload = F.struct(
+        F.col(right_ts).alias("_rts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        *key_cols,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),  # right sorts BEFORE left at equal ts (inclusive)
+        payload.alias("_rv"),
+    )
+    # left rows ride through the same union with their payload packed into
+    # a struct, so the window pass reconstructs full left rows afterwards
+    l_cols = list(left.columns)
+    lu = left.select(
+        *key_cols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
+        F.struct(*[F.col(c) for c in l_cols]).alias("_lv"),
+    )
+    ru = r.withColumn("_lv", F.lit(None).cast(lu.schema["_lv"].dataType)).select(
+        lu.columns
+    )
+    u = ru.unionByName(lu)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_cr", F.last("_rv", ignorenulls=True).over(w))
+    out = carried.where(F.col("_side") == 1).select(
+        *[F.col(f"_lv.{c}").alias(c) for c in l_cols],
+        F.col("_cr._rts").alias(f"{prefix}{right_ts}"),
+        *[F.col(f"_cr.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
+    return out
+
+
+def asof_lag(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "anchor_",
+    lag_col: str = "lag_s",
+) -> DataFrame:
+    """asof_join + seconds-since-anchor (NULL when no anchor)."""
+    j = asof_join(left, right, key_cols, left_ts, right_ts, right_cols, prefix)
+    return j.withColumn(
+        lag_col,
+        F.col(left_ts).cast("timestamp").cast("double")
+        - F.col(f"{prefix}{right_ts}").cast("timestamp").cast("double"),
+    )

@@ -47,10 +47,10 @@ def test_brute_force_topk_matches_numpy(spark, vectors):
 
 def test_lsh_topk_finds_true_neighbors(spark, vectors):
     """LSH ANN's contract: vectors that are GENUINELY similar (the planted
-    near-dups, cosine ~1) land in the same bucket and are found at rank 1.
-    On near-orthogonal gaussian noise, top-5 'neighbors' (cosine ~0.35) are
-    below any LSH locality threshold — recall there is expectedly low and is
-    only reported, not asserted high."""
+    near-dups, cosine ~1) collide in some table and are found at rank 1.
+    Full recall@k vs brute force is measured and reported by bench.py at
+    sf0.1 (multi-table family: 0.96+ on the clustered corpus); this test
+    pins the hard floor — near-dup retrieval — at tiny fixture scale."""
     kinds = {r["vec_id"]: r["kind"] for r in vectors.collect()}
     near_dups = [v for v, k in sorted(kinds.items()) if k == "near_dup"][:20]
     queries = vectors.where(F.col("vec_id").isin(near_dups)).selectExpr(
@@ -145,3 +145,20 @@ def test_ivf_topk_finds_true_neighbors(spark, vectors):
     bf_top1 = {r["query_id"]: r["neighbor_id"] for r in bf.collect() if r["rank"] == 1}
     ivf_top1 = {r["query_id"]: r["neighbor_id"] for r in ivf.collect() if r["rank"] == 1}
     assert near_dups and all(ivf_top1.get(q) == bf_top1[q] for q in near_dups)
+
+
+def test_brute_force_query_bound_enforced(spark, vectors):
+    """An oversized probe set must fail fast (the collect contract is
+    enforced, not assumed) — and the cap is adjustable."""
+    import pytest
+
+    queries = vectors.limit(8).selectExpr("vec_id as query_id", "vec")
+    with pytest.raises(ValueError, match="query probe set exceeds"):
+        similarity.brute_force_topk(
+            vectors, queries, k=3, id_col="vec_id", vec_col="vec", max_queries=5
+        )
+    # at/below the cap it runs
+    ok = similarity.brute_force_topk(
+        vectors, queries.limit(5), k=3, id_col="vec_id", vec_col="vec", max_queries=5
+    )
+    assert ok.count() == 15

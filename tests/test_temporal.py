@@ -1,0 +1,77 @@
+"""As-of join: Spark union+window formulation vs the pandas merge_asof
+oracle (backward, inclusive), including left rows with no anchor."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from conflation_spark.operators.temporal import asof_join, asof_lag
+
+
+def _mk(spark, seed=5):
+    rng = np.random.default_rng(seed)
+    n_l, n_r = 400, 60
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(n_l),
+            "user_id": rng.integers(0, 12, n_l),
+            "ts": base + pd.to_timedelta(rng.integers(0, 10_000, n_l), unit="s"),
+            "value": rng.random(n_l).round(3),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 12, n_r),
+            "ts": base + pd.to_timedelta(rng.integers(0, 10_000, n_r), unit="s"),
+            "anchor_id": np.arange(n_r) + 1000,
+        }
+    ).drop_duplicates(["user_id", "ts"])  # as-of contract: unique (key, ts)
+    return left, right
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    left, right = _mk(spark)
+    lsdf = spark.createDataFrame(left)
+    rsdf = spark.createDataFrame(right)
+    got = (
+        asof_join(lsdf, rsdf, ["user_id"], "ts", "ts", ["anchor_id"])
+        .orderBy("event_id")
+        .toPandas()
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="user_id",
+        direction="backward",  # inclusive, like DuckDB ASOF
+        suffixes=("", "_r"),
+    ).sort_values("event_id")
+    assert len(got) == len(want) == len(left)
+    g = got.set_index("event_id")
+    w = want.set_index("event_id")
+    ga = g["anchor_anchor_id"].astype("float64")
+    wa = w["anchor_id"].astype("float64")
+    assert ((ga == wa) | (ga.isna() & wa.isna())).all()
+    # anchor_ts matches too where present
+    gt = g["anchor_ts"]
+    # reconstruct expected anchor ts by joining right on anchor_id
+    rmap = right.set_index("anchor_id")["ts"]
+    wt = wa.map(rmap)
+    both = ~gt.isna()
+    assert (gt[both].to_numpy() == wt[both].to_numpy()).all()
+    assert gt.isna().equals(wa.isna())
+
+
+def test_asof_lag_and_plan_shape(spark):
+    left, right = _mk(spark, seed=9)
+    lsdf = spark.createDataFrame(left)
+    rsdf = spark.createDataFrame(right)
+    j = asof_lag(lsdf, rsdf, ["user_id"], "ts", "ts", ["anchor_id"])
+    rows = j.where(F.col("anchor_ts").isNotNull()).select("lag_s").collect()
+    assert rows and all(r["lag_s"] >= 0 for r in rows)
+    # plan: NO join node at all (the range-join blowup is the trap this
+    # operator exists to avoid) — one exchange for the keyed window
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2  # key shuffle (+AQE coalesce variants)
