@@ -50,6 +50,7 @@ BETA_M = 10.0  # route-vs-geodesic disagreement scale for transitions
 SWITCH_LOGP = -2.5  # fixed cost for changing edges (suppresses junction flicker)
 JUMP_LOGP = -15.0  # fallback transition for non-adjacent candidate pairs
 EARTH_RADIUS_M = 6378160.0  # parity with the reference haversine
+BOUNDARY_FIT_W = 16  # samples per side for the node-crossing LSQ fit
 
 MATCH_SCHEMA = (
     "doc_id string, edge_seq int, edge_id long, elapsed_time double, "
@@ -174,49 +175,113 @@ def viterbi_one_doc(pdf: pd.DataFrame, k: int = 4) -> pd.DataFrame:
     flush(chain, prev_scores, prev_back)
 
     # collapse consecutive matched edges into traversals. Edge-end elapsed
-    # time: node-crossing interpolation between the last point on edge k and
-    # the first point on edge k+1 (distance-weighted toward the shared node
-    # using the matched t_params — Valhalla-style). Fallbacks: samples'
-    # midpoint when no shared node; last sample at chain ends / gaps.
-    def boundary_time(c_last, p_last, c_next, p_next):
+    # time: multi-sample node-crossing estimate — a least-squares fit of
+    # distance-to-shared-node vs time over up to BOUNDARY_FIT_W samples on
+    # EACH side of the crossing, extrapolated to distance 0 and combined
+    # (sample-count weighted). GPS-projection noise on a single t_param is
+    # the dominant speed-bucket error source (tools/accuracy_attribution.py);
+    # n samples shrink it ~1/sqrt(n). Falls back to the two-sample
+    # distance-weighted interpolation (Valhalla-style) when a fit is
+    # degenerate (1 sample, zero time spread, or wrong-sign slope), to the
+    # samples' midpoint when the edges share no node, and to the last
+    # sample at chain ends / gps gaps. Clamped to the straddling samples'
+    # time window. MUST stay byte-equal to the vectorized collapse in
+    # _viterbi_core: same sums in the same order, same selection logic.
+    def _fit(taus, dists, tau_a, want_neg):
+        # LSQ dist = alpha + beta*(tau - tau_a); crossing where dist == 0.
+        # Samples ordered boundary-nearest-first (the batch kernel
+        # accumulates in the same order). Returns (T, var) where var is the
+        # extrapolation variance with the common sigma^2 factored out —
+        # var(T) ~ (1/n + (T - tbar)^2 / S) / beta^2 — used for
+        # inverse-variance combination of the two sides.
+        n = float(len(taus))
+        s_t = s_d = s_tt = s_td = 0.0
+        for tau, d in zip(taus, dists):
+            tc = tau - tau_a
+            s_t += tc
+            s_d += d
+            s_tt += tc * tc
+            s_td += tc * d
+        den = n * s_tt - s_t * s_t
+        if n < 2.0 or den == 0.0:
+            return np.nan, np.nan
+        beta = (n * s_td - s_t * s_d) / den
+        if (beta >= 0.0) if want_neg else (beta <= 0.0):
+            return np.nan, np.nan
+        t_x = tau_a - ((s_d - beta * s_t) / n) / beta
+        if not np.isfinite(t_x):
+            return np.nan, np.nan
+        tbar = s_t / n
+        s_c = s_tt - s_t * s_t / n
+        dev = t_x - tau_a - tbar
+        var = (1.0 / n + dev * dev / s_c) / (beta * beta)
+        return t_x, var
+
+    def boundary_time(run_a, run_b):
+        p_last, c_last = run_a[-1]
+        p_next, c_next = run_b[0]
         if pts[p_next][0] != pts[p_last][0] + 1:  # gps_idx adjacency
             return pts[p_last][1]
         tau_a, tau_b = pts[p_last][1], pts[p_next][1]
-        ta, la = e_t[c_last], e_len[c_last]
-        tb, lb = e_t[c_next], e_len[c_next]
+        # shared-node orientation; priority order mirrors the batch select
         if e_dst[c_last] == e_src[c_next]:
-            rem, into = (1 - ta) * la, tb * lb
+            a_at_dst, b_at_src = True, True
         elif e_dst[c_last] == e_dst[c_next]:
-            rem, into = (1 - ta) * la, (1 - tb) * lb
+            a_at_dst, b_at_src = True, False
         elif e_src[c_last] == e_src[c_next]:
-            rem, into = ta * la, tb * lb
+            a_at_dst, b_at_src = False, True
         elif e_src[c_last] == e_dst[c_next]:
-            rem, into = ta * la, (1 - tb) * lb
+            a_at_dst, b_at_src = False, False
         else:
             return (tau_a + tau_b) / 2.0
+        wa = run_a[: -BOUNDARY_FIT_W - 1 : -1]  # boundary-nearest first
+        wb = run_b[:BOUNDARY_FIT_W]
+        taus_a = [pts[p][1] for p, _ in wa]
+        rems_a = [
+            (1.0 - e_t[c]) * e_len[c] if a_at_dst else e_t[c] * e_len[c]
+            for _, c in wa
+        ]
+        taus_b = [pts[p][1] for p, _ in wb]
+        intos_b = [
+            e_t[c] * e_len[c] if b_at_src else (1.0 - e_t[c]) * e_len[c]
+            for _, c in wb
+        ]
+        t_a, var_a = _fit(taus_a, rems_a, tau_a, want_neg=True)
+        t_b, var_b = _fit(taus_b, intos_b, tau_a, want_neg=False)
+        rem, into = rems_a[0], intos_b[0]
         denom = rem + into
         frac = rem / denom if denom > 0 else 0.5
-        return tau_a + (tau_b - tau_a) * frac
+        if not np.isnan(t_a) and not np.isnan(t_b):
+            w_a = 1.0 / var_a
+            w_b = 1.0 / var_b
+            t = (w_a * t_a + w_b * t_b) / (w_a + w_b)
+        elif not np.isnan(t_a):
+            t = t_a
+        elif not np.isnan(t_b):
+            t = t_b
+        else:
+            t = tau_a + (tau_b - tau_a) * frac
+        return min(max(t, tau_a), tau_b)
 
-    out = []
-    cur_edge, cur_n, cur_last_pi, cur_last_c = None, 0, None, None
-    seq = 0
+    # runs of consecutive matched points on the same edge (a gps gap does
+    # NOT split a run when the same edge resumes — matches the batch path)
+    runs: list[tuple[int, list[tuple[int, int]]]] = []
     for p_i in range(n_present):
         c = matched[p_i]
-        eid = None if c is None else int(e_id[c])
-        if eid is None:
+        if c is None:
             continue
-        if cur_edge is None or eid != cur_edge:
-            if cur_edge is not None:
-                end_t = boundary_time(cur_last_c, cur_last_pi, c, p_i)
-                out.append((doc_id, seq, cur_edge, end_t, cur_n, n_present))
-                seq += 1
-            cur_edge, cur_n = eid, 0
-        cur_n += 1
-        cur_last_pi = p_i
-        cur_last_c = c
-    if cur_edge is not None:
-        out.append((doc_id, seq, cur_edge, pts[cur_last_pi][1], cur_n, n_present))
+        eid = int(e_id[c])
+        if runs and runs[-1][0] == eid:
+            runs[-1][1].append((p_i, c))
+        else:
+            runs.append((eid, [(p_i, c)]))
+    out = []
+    for seq, (eid, samples) in enumerate(runs):
+        if seq + 1 < len(runs):
+            end_t = boundary_time(samples, runs[seq + 1][1])
+        else:
+            end_t = pts[samples[-1][0]][1]
+        out.append((doc_id, seq, eid, end_t, len(samples), n_present))
 
     return pd.DataFrame(out, columns=cols)
 
@@ -353,11 +418,11 @@ def _viterbi_core(
     # last point of each run = element before next run start (or last)
     run_end = np.append(run_start[1:], len(mp)) - 1
     run_last_time = p_time[mp[run_end]]
-    # node-crossing interpolation (Valhalla-style): between the last point
-    # on edge k (along-position from its matched t_param) and the first
-    # point on edge k+1, the boundary is crossed at the distance-weighted
-    # fraction toward the shared node. Falls back to the samples' midpoint
-    # (no shared node) or the last sample (non-adjacent points / doc break).
+    # multi-sample node-crossing estimate (see viterbi_one_doc for the
+    # estimator spec — this is its byte-equal vectorized twin): LSQ fit of
+    # distance-to-shared-node vs time over up to BOUNDARY_FIT_W samples per
+    # side, extrapolated to distance 0, count-weighted combination, with
+    # two-sample interpolation / midpoint / last-sample fallbacks.
     if R > 1:
         np_first = mp[run_start[1:]]
         tp_last = mp[run_end[:-1]]
@@ -368,29 +433,107 @@ def _viterbi_core(
         )
         sa_ = matched_slot[tp_last]
         sb_ = matched_slot[np_first]
-        ta = c_t[tp_last, sa_]
         la = c_len[tp_last, sa_]
-        tb = c_t[np_first, sb_]
         lb = c_len[np_first, sb_]
         srca, dsta = c_src[tp_last, sa_], c_dst[tp_last, sa_]
         srcb, dstb = c_src[np_first, sb_], c_dst[np_first, sb_]
-        # remaining distance on edge k to the shared node / into edge k+1
-        rem = np.select(
-            [dsta == srcb, dsta == dstb, srca == srcb, srca == dstb],
-            [(1 - ta) * la, (1 - ta) * la, ta * la, ta * la],
-            default=np.nan,
-        )
-        into = np.select(
-            [dsta == srcb, dsta == dstb, srca == srcb, srca == dstb],
-            [tb * lb, (1 - tb) * lb, tb * lb, (1 - tb) * lb],
-            default=np.nan,
-        )
+        # shared-node orientation, first-match priority (same order as the
+        # scalar if/elif chain in viterbi_one_doc.boundary_time)
+        c1 = dsta == srcb
+        c2 = ~c1 & (dsta == dstb)
+        c3 = ~c1 & ~c2 & (srca == srcb)
+        c4 = ~c1 & ~c2 & ~c3 & (srca == dstb)
+        shared = c1 | c2 | c3 | c4
+        a_at_dst = c1 | c2
+        b_at_src = c1 | c3
         tau_a, tau_b = p_time[tp_last], p_time[np_first]
+
+        # per-side LSQ sums, accumulated boundary-nearest-first (w order
+        # matches the scalar loop; masked terms add exact 0.0)
+        nA = np.minimum(run_npts[:-1], BOUNDARY_FIT_W)
+        nB = np.minimum(run_npts[1:], BOUNDARY_FIT_W)
+        B = R - 1
+        s_t_a = np.zeros(B)
+        s_d_a = np.zeros(B)
+        s_tt_a = np.zeros(B)
+        s_td_a = np.zeros(B)
+        s_t_b = np.zeros(B)
+        s_d_b = np.zeros(B)
+        s_tt_b = np.zeros(B)
+        s_td_b = np.zeros(B)
+        for w in range(BOUNDARY_FIT_W):
+            ok_a = w < nA
+            ra = mp[run_end[:-1] - np.minimum(w, run_npts[:-1] - 1)]
+            t_pa = c_t[ra, matched_slot[ra]]
+            l_pa = c_len[ra, matched_slot[ra]]  # per-sample len (scalar parity)
+            d_a = np.where(a_at_dst, (1.0 - t_pa) * l_pa, t_pa * l_pa)
+            tc_a = p_time[ra] - tau_a
+            s_t_a += np.where(ok_a, tc_a, 0.0)
+            s_d_a += np.where(ok_a, d_a, 0.0)
+            s_tt_a += np.where(ok_a, tc_a * tc_a, 0.0)
+            s_td_a += np.where(ok_a, tc_a * d_a, 0.0)
+            ok_b = w < nB
+            rb_ = mp[run_start[1:] + np.minimum(w, run_npts[1:] - 1)]
+            t_pb = c_t[rb_, matched_slot[rb_]]
+            l_pb = c_len[rb_, matched_slot[rb_]]
+            d_b = np.where(b_at_src, t_pb * l_pb, (1.0 - t_pb) * l_pb)
+            tc_b = p_time[rb_] - tau_a
+            s_t_b += np.where(ok_b, tc_b, 0.0)
+            s_d_b += np.where(ok_b, d_b, 0.0)
+            s_tt_b += np.where(ok_b, tc_b * tc_b, 0.0)
+            s_td_b += np.where(ok_b, tc_b * d_b, 0.0)
+
+        nAf = nA.astype(np.float64)
+        nBf = nB.astype(np.float64)
+        den_a = nAf * s_tt_a - s_t_a * s_t_a
+        den_b = nBf * s_tt_b - s_t_b * s_t_b
+        with np.errstate(divide="ignore", invalid="ignore"):
+            beta_a = (nAf * s_td_a - s_t_a * s_d_a) / np.where(
+                den_a != 0, den_a, 1.0
+            )
+            t_fit_a = tau_a - ((s_d_a - beta_a * s_t_a) / nAf) / np.where(
+                beta_a != 0, beta_a, 1.0
+            )
+            beta_b = (nBf * s_td_b - s_t_b * s_d_b) / np.where(
+                den_b != 0, den_b, 1.0
+            )
+            t_fit_b = tau_a - ((s_d_b - beta_b * s_t_b) / nBf) / np.where(
+                beta_b != 0, beta_b, 1.0
+            )
+        valid_a = (nAf >= 2) & (den_a != 0) & (beta_a < 0) & np.isfinite(t_fit_a)
+        valid_b = (nBf >= 2) & (den_b != 0) & (beta_b > 0) & np.isfinite(t_fit_b)
+        # inverse-variance weights for combining the two sides (sigma^2 is
+        # common and cancels); same arithmetic as the scalar _fit
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tbar_a = s_t_a / nAf
+            s_c_a = s_tt_a - s_t_a * s_t_a / nAf
+            dev_a = t_fit_a - tau_a - tbar_a
+            var_a = (1.0 / nAf + dev_a * dev_a / s_c_a) / (beta_a * beta_a)
+            tbar_b = s_t_b / nBf
+            s_c_b = s_tt_b - s_t_b * s_t_b / nBf
+            dev_b = t_fit_b - tau_a - tbar_b
+            var_b = (1.0 / nBf + dev_b * dev_b / s_c_b) / (beta_b * beta_b)
+
+        # two-sample fallback (the straddling samples' rem/into == the w=0
+        # terms of the fit sums)
+        ta = c_t[tp_last, sa_]
+        tb = c_t[np_first, sb_]
+        rem = np.where(a_at_dst, (1.0 - ta) * la, ta * la)
+        into = np.where(b_at_src, tb * lb, (1.0 - tb) * lb)
         denom = rem + into
         frac = np.where(denom > 0, rem / np.where(denom > 0, denom, 1.0), 0.5)
-        boundary = np.where(
-            np.isnan(rem), (tau_a + tau_b) / 2.0, tau_a + (tau_b - tau_a) * frac
-        )
+        two_sample = tau_a + (tau_b - tau_a) * frac
+
+        with np.errstate(invalid="ignore", divide="ignore"):
+            w_a = 1.0 / var_a
+            w_b = 1.0 / var_b
+            refined = np.where(
+                valid_a & valid_b,
+                (w_a * t_fit_a + w_b * t_fit_b) / (w_a + w_b),
+                np.where(valid_a, t_fit_a, np.where(valid_b, t_fit_b, two_sample)),
+            )
+            refined = np.minimum(np.maximum(refined, tau_a), tau_b)
+        boundary = np.where(shared, refined, (tau_a + tau_b) / 2.0)
         run_last_time = run_last_time.copy()
         run_last_time[:-1] = np.where(contiguous, boundary, run_last_time[:-1])
     # edge_seq: position of run within its doc
