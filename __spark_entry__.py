@@ -19,6 +19,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from conflation_spark.operators.sampling import _thr_hex
+
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
@@ -289,6 +291,23 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(td, "text_id", "text", 3)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup pair graph: every doc assigned
+    its connected component's min doc id + a canonical `keep` flag
+    (operators/cluster.py hash-min label propagation). Oracle: the same
+    pair SQL fed through a DuckDB recursive min-label CTE."""
+    from conflation_spark.operators.cluster import dedup_clusters
+    from conflation_spark.operators.dedup import ngram_jaccard_pairs
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    pairs = ngram_jaccard_pairs(
+        td, "text_id", "text", 3, 0.8, max_doc_freq=NGRAM_MAX_DF
+    )
+    return dedup_clusters(td, pairs, id_col="text_id").select(
+        F.col("text_id").alias("doc_id"), "cluster_id", "keep"
+    )
+
+
 def _q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.dedup import embedding_cosine_pairs
 
@@ -498,17 +517,13 @@ PIP_POLY = [(9.990, 35.000), (10.000, 35.013), (10.010, 35.000), (10.000, 34.987
 
 
 def _q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from conflation_spark.operators.tiling import point_in_polygon
+    from conflation_spark.operators.tiling import point_in_polygon_const
     from conflation_spark.sources.spans import decode_points, load_documents
 
     pts = decode_points(load_documents(spark, _spatial_dir(sf_dir)))
-    poly = F.array(
-        *[
-            F.struct(F.lit(lo).alias("lon"), F.lit(la).alias("lat"))
-            for lo, la in PIP_POLY
-        ]
-    )
-    inside = pts.where(point_in_polygon(F.col("lon"), F.col("lat"), poly))
+    # constant ring -> unrolled codegen'd terms (the HOF array variant
+    # interprets its lambdas per row; same IEEE tree, ~5x slower)
+    inside = pts.where(point_in_polygon_const(F.col("lon"), F.col("lat"), PIP_POLY))
     return inside.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_inside"))
 
 
@@ -577,6 +592,23 @@ def _q_asof_signup_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-language sampling quotas for the stratified-sample query: rebalance
+# the en-dominant corpus (mirrored literally in the DuckDB oracle)
+SAMPLE_FRACTIONS = {"en": 0.25, "de": 1.0, "es": 0.8, "fr": 1.0, "zh": 0.5}
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-threshold stratified sampling (content-hash
+    membership — reproducible across partitionings/cluster sizes, unlike
+    df.sample; operators/sampling.py). Shuffle-free codegen predicate."""
+    from conflation_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, SAMPLE_FRACTIONS, stratum_col="lang", key_col="doc_id"
+    ).select("doc_id", "lang", "n_chars")
+
+
 def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -613,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_verified": _q_minhash_verified,
         "simhash_pairs": _q_simhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "embedding_cosine_pairs": _q_cosine_neardup,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -631,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "event_windows": _q_event_windows,
         "asof_signup_lag": _q_asof_signup_lag,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -867,6 +901,29 @@ FROM h GROUP BY text_md5 HAVING count(*) > 1
 """,
         "ngram_jaccard_pairs": jaccard_sql,
         "minhash_lsh_verified": jaccard_sql,
+        # connected components over the near-dup pair graph: recursive
+        # min-label propagation (UNION dedups rows, the min label is
+        # monotone, so the CTE reaches the same fixpoint as the Spark
+        # hash-min loop); docs in no pair are singletons
+        "dedup_clusters": f"""
+WITH RECURSIVE p AS (SELECT id_a, id_b FROM ({jaccard_sql})),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION
+  SELECT id_b AS a, id_a AS b FROM p
+),
+cc(node, lbl) AS (
+  SELECT a, least(a, MIN(b)) FROM sym GROUP BY a
+  UNION
+  SELECT s.a, MIN(c.lbl) FROM sym s JOIN cc c ON s.b = c.node GROUP BY s.a
+),
+final AS (SELECT node, MIN(lbl) AS cluster FROM cc GROUP BY node)
+SELECT d.text_id AS doc_id,
+       coalesce(f.cluster, d.text_id) AS cluster_id,
+       (d.text_id = coalesce(f.cluster, d.text_id)) AS keep
+FROM read_parquet('{td}/textdocs.parquet') d
+LEFT JOIN final f ON f.node = d.text_id
+""",
         # simhash: the fixture's `simhash` column is precomputed by the SAME
         # numpy kernel the Spark pandas_udf runs (functions/kernels.py); the
         # oracle expresses only the 4x16-bit chunk banding + Hamming verify
@@ -1212,6 +1269,18 @@ SELECT e.event_id, e.user_id,
        CAST(round((epoch(e.ts) - epoch(a.ts)) * 1000) AS BIGINT) AS lag_ms
 FROM e ASOF LEFT JOIN a ON e.user_id = a.user_id AND e.ts >= a.ts
 """,
+        # deterministic md5-threshold stratified sampling: the SAME
+        # (hash-prefix < per-stratum hex threshold) predicate, thresholds
+        # generated from SAMPLE_FRACTIONS by the same _thr_hex
+        "stratified_sample": (
+            "SELECT doc_id, lang, n_chars FROM documents\n"
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < CASE lang\n"
+            + "".join(
+                f"  WHEN '{lg}' THEN '{_thr_hex(frac, 8)}'\n"
+                for lg, frac in sorted(SAMPLE_FRACTIONS.items())
+            )
+            + f"  ELSE '{_thr_hex(0.0, 8)}' END"
+        ),
         "event_sessions": """
 WITH g AS (
   SELECT user_id, event_id, ts, value,

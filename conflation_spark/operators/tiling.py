@@ -118,6 +118,34 @@ def point_in_bbox(lon: Column, lat: Column, lo_lon, lo_lat, hi_lon, hi_lat) -> C
     return (lon >= lo_lon) & (lon < hi_lon) & (lat >= lo_lat) & (lat < hi_lat)
 
 
+def point_in_polygon_const(
+    lon: Column, lat: Column, ring: "list[tuple[float, float]]"
+) -> Column:
+    """Ray-casting point-in-polygon for a ring KNOWN AT PLAN TIME — the
+    common case (filter by a fixed geofence). The ring unrolls into plain
+    codegen'd boolean terms (one per edge, summed, mod 2), which
+    whole-stage-codegen compiles; the array/HOF variant below evaluates
+    its lambdas in the INTERPRETED expression path per row (CLAUDE.md
+    rule 3) — ~5x slower on a multi-million-point scan. Identical
+    even-odd semantics and IEEE expression tree per edge.
+    """
+    pts = list(ring)
+    if pts[0] == pts[-1]:
+        pts = pts[:-1]
+    crossings = None
+    for (alo, ala), (blo, bla) in zip(pts, pts[1:] + pts[:1]):
+        cond = ((F.lit(ala) > lat) != (F.lit(bla) > lat)) & (
+            lon
+            < (F.lit(blo) - F.lit(alo))
+            * (lat - F.lit(ala))
+            / (F.lit(bla) - F.lit(ala))
+            + F.lit(alo)
+        )
+        term = F.when(cond, 1).otherwise(0)
+        crossings = term if crossings is None else crossings + term
+    return F.pmod(crossings, F.lit(2)) == 1
+
+
 def point_in_polygon(lon: Column, lat: Column, polygon: Column) -> Column:
     """Ray-casting point-in-polygon, pure array expressions (JVM-side).
 
@@ -125,6 +153,10 @@ def point_in_polygon(lon: Column, lat: Column, polygon: Column) -> Column:
     the closing edge is added automatically). Standard even-odd rule: count
     edges crossing the horizontal ray to +inf; odd => inside. Points exactly
     on edges follow the half-open convention of the crossing test.
+
+    NOTE: zip_with/aggregate lambdas run INTERPRETED (CLAUDE.md rule 3) —
+    this variant is for rings that genuinely vary per row (a polygon
+    column); for a fixed geofence use ``point_in_polygon_const``.
     """
     n = F.size(polygon)
     ring_a = polygon

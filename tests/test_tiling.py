@@ -146,6 +146,19 @@ def test_point_in_polygon_ray_casting(spark):
     ).collect()
     for r in got:
         assert r["got"] == r["want"]
+    # the plan-time-constant unrolled variant agrees with the HOF variant
+    # (and the truth) on both rings, including concave + boundary cases
+    for poly in (sq, ell):
+        want = {(lon, lat): w for lon, lat, p, w in rows if p is poly}
+        pdf = spark.createDataFrame(
+            [(lon, lat) for lon, lat in want], "lon double, lat double"
+        )
+        got_c = pdf.select(
+            "lon", "lat",
+            tiling.point_in_polygon_const(F.col("lon"), F.col("lat"), poly).alias("g"),
+        ).collect()
+        for r in got_c:
+            assert r["g"] == want[(r["lon"], r["lat"])]
 
 
 def test_rasterize_vectorize_roundtrip(spark, fixture_dir):
