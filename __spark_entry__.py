@@ -592,6 +592,46 @@ def _q_asof_signup_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2-style validity-interval lookup: every event annotated with
+    its covering session interval [min ts, max ts] per user — intervals
+    are non-overlapping per key, so operators/temporal.interval_join
+    resolves it as an as-of on start + end-bound filter (one keyed
+    shuffle, never a per-key cartesian). Oracle: DuckDB BETWEEN join."""
+    from pyspark.sql import Window as W
+
+    from conflation_spark.operators.temporal import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    te = F.col("ts").cast("timestamp").cast("double")
+    gap = te - F.lag(te).over(w)
+    s = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    s = s.withColumn(
+        "sess_idx", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    intervals = s.groupBy("user_id", "sess_idx").agg(
+        F.min("ts").alias("start"), F.max("ts").alias("end")
+    )
+    j = interval_join(
+        ev.select("event_id", "user_id", "ts"),
+        intervals,
+        ["user_id"],
+        "ts",
+        "start",
+        "end",
+        ["sess_idx"],
+    )
+    ts_d = F.col("ts").cast("timestamp").cast("double")
+    st_d = F.col("iv_start").cast("timestamp").cast("double")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("iv_sess_idx").cast("long").alias("sess_idx"),
+        F.round((ts_d - st_d) * 1000).cast("long").alias("into_sess_ms"),
+    )
+
+
 # per-language sampling quotas for the stratified-sample query: rebalance
 # the en-dominant corpus (mirrored literally in the DuckDB oracle)
 SAMPLE_FRACTIONS = {"en": 0.25, "de": 1.0, "es": 0.8, "fr": 1.0, "zh": 0.5}
@@ -665,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": _q_event_windows,
         "asof_signup_lag": _q_asof_signup_lag,
         "stratified_sample": _q_stratified_sample,
+        "interval_join_sessions": _q_interval_join,
     }
 
 
@@ -1281,6 +1322,36 @@ FROM e ASOF LEFT JOIN a ON e.user_id = a.user_id AND e.ts >= a.ts
             )
             + f"  ELSE '{_thr_hex(0.0, 8)}' END"
         ),
+        # interval join: sessions' [min ts, max ts] per user as validity
+        # intervals; DuckDB verifies with a plain BETWEEN join (quadratic
+        # per key is fine at oracle scale; the Spark plan is the as-of form)
+        "interval_join_sessions": """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         epoch(ts) - epoch(lag(ts) OVER w) AS gap
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM g
+),
+x AS (
+  SELECT user_id, event_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM s
+),
+iv AS (
+  SELECT user_id, sess_idx, min(ts) AS s_start, max(ts) AS s_end
+  FROM x GROUP BY user_id, sess_idx
+)
+SELECT e.event_id, e.user_id,
+       CAST(iv.sess_idx AS BIGINT) AS sess_idx,
+       CAST(round((epoch(e.ts) - epoch(iv.s_start)) * 1000) AS BIGINT) AS into_sess_ms
+FROM events e JOIN iv
+  ON e.user_id = iv.user_id AND e.ts BETWEEN iv.s_start AND iv.s_end
+""",
         "event_sessions": """
 WITH g AS (
   SELECT user_id, event_id, ts, value,

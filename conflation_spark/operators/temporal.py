@@ -85,6 +85,43 @@ def asof_join(
     return out
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    right_cols: list[str] | None = None,
+    prefix: str = "iv_",
+    how: str = "inner",
+) -> DataFrame:
+    """Attach the interval [start, end] (inclusive bounds) covering each
+    left row — the SCD-2 / validity-period dimension lookup. CONTRACT:
+    intervals are non-overlapping per key (dimension versions, sessions);
+    under it the covering interval is exactly the as-of match on
+    ``start``, so this is the same union + one keyed shuffle + running
+    window — never the quadratic per-key theta-join Catalyst would plan
+    for ``l.ts BETWEEN r.start AND r.end`` (BroadcastNestedLoop / per-key
+    cartesian). ``how``: 'inner' drops uncovered rows, 'left' keeps them
+    with NULL interval columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    right_cols = right_cols or [
+        c for c in right.columns if c not in set(key_cols) | {start_col, end_col}
+    ]
+    j = asof_join(left, right, key_cols, left_ts, start_col, [end_col, *right_cols], prefix)
+    covered = F.col(left_ts) <= F.col(f"{prefix}{end_col}")
+    if how == "inner":
+        return j.where(covered)
+    iv_cols = [f"{prefix}{c}" for c in (start_col, end_col, *right_cols)]
+    return j.select(
+        *[c for c in j.columns if c not in iv_cols],
+        *[F.when(covered, F.col(c)).alias(c) for c in iv_cols],
+    )
+
+
 def asof_lag(
     left: DataFrame,
     right: DataFrame,

