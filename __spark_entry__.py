@@ -632,6 +632,38 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General range join with OVERLAPPING windows: each signup opens a
+    7-day window; every same-user event inside ANY window matches (an
+    event can land in several). Bucketized equi-join + exact residual
+    (operators/temporal.range_join_bucketed) — never a per-key cartesian.
+    Oracle: plain DuckDB BETWEEN theta-join."""
+    from conflation_spark.operators.temporal import range_join_bucketed
+
+    WEEK = 604800.0
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tsec = F.col("ts").cast("timestamp").cast("double")
+    e = ev.select("event_id", "user_id", tsec.alias("tsec"))
+    w = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        tsec.alias("w_start"),
+        (tsec + WEEK).alias("w_end"),
+        F.col("event_id").alias("signup_event"),
+    )
+    j = range_join_bucketed(
+        e, w, ["user_id"], "tsec", "w_start", "w_end",
+        bucket_width=WEEK, right_cols=["signup_event"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("rj_signup_event").alias("signup_event"),
+        F.round((F.col("tsec") - F.col("rj_w_start")) * 1000)
+        .cast("long")
+        .alias("into_ms"),
+    )
+
+
 # per-language sampling quotas for the stratified-sample query: rebalance
 # the en-dominant corpus (mirrored literally in the DuckDB oracle)
 SAMPLE_FRACTIONS = {"en": 0.25, "de": 1.0, "es": 0.8, "fr": 1.0, "zh": 0.5}
@@ -706,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_signup_lag": _q_asof_signup_lag,
         "stratified_sample": _q_stratified_sample,
         "interval_join_sessions": _q_interval_join,
+        "range_join_windows": _q_range_join,
     }
 
 
@@ -1322,6 +1355,20 @@ FROM e ASOF LEFT JOIN a ON e.user_id = a.user_id AND e.ts >= a.ts
             )
             + f"  ELSE '{_thr_hex(0.0, 8)}' END"
         ),
+        # general range join (overlapping 7-day signup windows): the
+        # bucketized equi-join must equal the plain theta-join
+        "range_join_windows": """
+WITH e AS (SELECT event_id, user_id, epoch(ts) AS tsec FROM events),
+w AS (
+  SELECT user_id, epoch(ts) AS w_start, epoch(ts) + 604800 AS w_end,
+         event_id AS signup_event
+  FROM events WHERE event_type = 'signup'
+)
+SELECT e.event_id, e.user_id, w.signup_event,
+       CAST(round((e.tsec - w.w_start) * 1000) AS BIGINT) AS into_ms
+FROM e JOIN w ON e.user_id = w.user_id
+             AND e.tsec >= w.w_start AND e.tsec <= w.w_end
+""",
         # interval join: sessions' [min ts, max ts] per user as validity
         # intervals; DuckDB verifies with a plain BETWEEN join (quadratic
         # per key is fine at oracle scale; the Spark plan is the as-of form)

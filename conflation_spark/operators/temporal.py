@@ -122,6 +122,64 @@ def interval_join(
     )
 
 
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_width: float = 3600.0,
+    right_cols: list[str] | None = None,
+    prefix: str = "rj_",
+    max_buckets_per_interval: int = 1024,
+) -> DataFrame:
+    """General range join — left rows against possibly OVERLAPPING
+    intervals (inclusive bounds), emitting one row per (left row,
+    covering interval). ``left_ts``/``start_col``/``end_col`` are numeric
+    (e.g. epoch seconds).
+
+    Scale shape: Catalyst plans ``l.ts BETWEEN r.start AND r.end`` as a
+    broadcast-nested-loop / per-key cartesian (quadratic at hot keys).
+    Instead each interval EXPLODES into the coarse time buckets it
+    touches (floor(t / bucket_width)) and the join becomes a hash
+    equi-join on (key..., bucket) + the exact BETWEEN residual. A left
+    row matches each interval in exactly ONE bucket (its own), so no
+    post-join dedup is needed. Pick ``bucket_width`` near the typical
+    interval length: cost ~ |L| + |R| * (len/width + 1) exploded rows.
+    ``max_buckets_per_interval`` fails fast on intervals that would
+    explode past the cap (a year-long interval at 1s buckets is a config
+    error, not a workload).
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in set(key_cols) | {start_col, end_col}
+    ]
+    b0 = F.floor(F.col(start_col) / bucket_width).cast("long")
+    b1 = F.floor(F.col(end_col) / bucket_width).cast("long")
+    guarded = right.withColumn("_nb", b1 - b0 + 1)
+    over = guarded.where(F.col("_nb") > max_buckets_per_interval).limit(1).count()
+    if over:
+        raise ValueError(
+            f"an interval spans more than {max_buckets_per_interval} buckets "
+            f"of width {bucket_width}; raise bucket_width or the cap"
+        )
+    r = guarded.select(
+        *key_cols,
+        F.col(start_col).alias(f"{prefix}{start_col}"),
+        F.col(end_col).alias(f"{prefix}{end_col}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        F.explode(F.sequence(b0, b1)).alias("_bucket"),
+    )
+    lt = left.withColumn(
+        "_bucket", F.floor(F.col(left_ts) / bucket_width).cast("long")
+    )
+    out = lt.join(r, [*key_cols, "_bucket"]).where(
+        (F.col(left_ts) >= F.col(f"{prefix}{start_col}"))
+        & (F.col(left_ts) <= F.col(f"{prefix}{end_col}"))
+    )
+    return out.drop("_bucket")
+
+
 def asof_lag(
     left: DataFrame,
     right: DataFrame,

@@ -101,3 +101,50 @@ def test_interval_join_inner_and_left(spark):
     assert rows[0]["iv_version"] == "v1"
     plan = lft._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_range_join_bucketed_matches_bruteforce(spark):
+    """Overlapping windows: bucketized equi-join + residual == brute-force
+    nested loop, across bucket boundaries and exact endpoints."""
+    from conflation_spark.operators.temporal import range_join_bucketed
+
+    rng = np.random.default_rng(4)
+    lrows = [(i, f"u{int(rng.integers(0, 5))}", float(rng.uniform(0, 1000)))
+             for i in range(300)]
+    rrows = []
+    for j in range(60):
+        s = float(rng.uniform(0, 950))
+        rrows.append((f"u{int(rng.integers(0, 5))}", s, s + float(rng.uniform(5, 200)), j))
+    # exact endpoint case
+    lrows.append((999, "u0", 500.0))
+    rrows.append(("u0", 400.0, 500.0, 999))
+    left = spark.createDataFrame(lrows, "event_id long, user_id string, ts double")
+    right = spark.createDataFrame(rrows, "user_id string, start double, end double, win long")
+    got = {
+        (r["event_id"], r["rj_win"])
+        for r in range_join_bucketed(
+            left, right, ["user_id"], "ts", "start", "end",
+            bucket_width=100.0, right_cols=["win"],
+        ).collect()
+    }
+    want = {
+        (eid, wid)
+        for eid, lu, t in lrows
+        for wu, s, e, wid in rrows
+        if lu == wu and s <= t <= e
+    }
+    assert got == want and (999, 999) in got
+
+
+def test_range_join_bucket_cap_raises(spark):
+    from conflation_spark.operators.temporal import range_join_bucketed
+
+    left = spark.createDataFrame([(1, "u", 5.0)], "event_id long, user_id string, ts double")
+    right = spark.createDataFrame([("u", 0.0, 1e6, 1)], "user_id string, start double, end double, win long")
+    import pytest
+
+    with pytest.raises(ValueError, match="buckets"):
+        range_join_bucketed(
+            left, right, ["user_id"], "ts", "start", "end",
+            bucket_width=1.0, right_cols=["win"], max_buckets_per_interval=100,
+        )
