@@ -291,6 +291,25 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(td, "text_id", "text", 3)
 
 
+# fixed query-term set for the BM25 relevance query (mixed document
+# frequencies in the synthetic corpus); mirrored in the DuckDB oracle
+BM25_QUERY = ["spark", "shuffle", "index"]
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 docs for a fixed query over the text corpus — tokens
+    explode once with the term filter inside the generator stage, stats
+    and DFs broadcast, top-k as TakeOrdered; per-term contributions
+    integerized before the sum so the score is order-independent
+    (operators/text.bm25_topk)."""
+    from conflation_spark.operators.text import bm25_topk
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    return bm25_topk(td, BM25_QUERY, id_col="text_id").select(
+        F.col("text_id").alias("doc_id"), "score_c"
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the near-dup pair graph: every doc assigned
     its connected component's min doc id + a canonical `keep` flag
@@ -718,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_verified": _q_minhash_verified,
         "simhash_pairs": _q_simhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "bm25_topk": _q_bm25_topk,
         "embedding_cosine_pairs": _q_cosine_neardup,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -975,6 +995,29 @@ FROM h GROUP BY text_md5 HAVING count(*) > 1
 """,
         "ngram_jaccard_pairs": jaccard_sql,
         "minhash_lsh_verified": jaccard_sql,
+        # BM25: identical expression tree (idf * (tf*(k1+1)) / (tf + k1*(1
+        # - b + b*dl/avgdl))), per-term contribution integerized BEFORE
+        # the per-doc sum (long sum is order-independent; a double sum
+        # would expose partition order in the low bits)
+        "bm25_topk": f"""
+WITH base AS (SELECT text_id AS id, {_DUCK_TOKS} AS toks FROM read_parquet('{td}/textdocs.parquet')),
+d AS (SELECT id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+e AS (SELECT id, unnest(toks) AS tok FROM base),
+tf AS (SELECT id, tok, count(*) AS tf FROM e
+       WHERE tok IN ({", ".join(repr(t) for t in BM25_QUERY)}) GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(DISTINCT id) AS df FROM tf GROUP BY 1),
+t AS (
+  SELECT tf.id,
+         CAST(floor(
+           ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / stats.avgdl))
+           * 10000.0 + 0.5) AS BIGINT) AS term_c
+  FROM tf JOIN dfreq USING (tok) JOIN d USING (id) CROSS JOIN stats
+)
+SELECT id AS doc_id, CAST(sum(term_c) AS BIGINT) AS score_c
+FROM t GROUP BY id ORDER BY score_c DESC, doc_id LIMIT 20
+""",
         # connected components over the near-dup pair graph: recursive
         # min-label propagation (UNION dedups rows, the min label is
         # monotone, so the CTE reaches the same fixpoint as the Spark

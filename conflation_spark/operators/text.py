@@ -110,3 +110,69 @@ def with_fingerprints(df: DataFrame, text_col: str = "text", k: int = 8) -> Data
         .withColumn("fp_min", F.array_min(grams).cast("long"))
         .withColumn("fp_max", F.array_max(grams).cast("long"))
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: "list[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set;
+    returns the top_k (id, score_c) by score.
+
+    Scale shape: tokens explode ONCE and the `isin(query_terms)` filter
+    lands inside the generator's stage, so only matching (doc, term) rows
+    ever shuffle; document frequencies and the corpus stats (N, avgdl)
+    are tiny broadcast sides; the final top-k plans as TakeOrdered
+    (distributed partial top-k), never a global sort.
+
+    Determinism across engines and partitionings: each TERM contribution
+    is integerized (floor(x*1e4 + 0.5)) BEFORE the per-doc sum, so the
+    sum is over longs — exact and order-independent — where a float sum
+    would expose partition order in the low bits. The DuckDB oracle
+    integerizes identically.
+    """
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks")).withColumn(
+        "dl", F.size("toks").cast("long")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("id", "dl", F.explode("toks").alias("tok"))
+        .where(F.col("tok").isin(list(query_terms)))
+        .groupBy("id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_c", F.floor(term_score * F.lit(10000.0) + F.lit(0.5)).cast("long")
+        )
+        .groupBy("id")
+        .agg(F.sum("term_c").alias("score_c"))
+    )
+    return (
+        scored.orderBy(F.col("score_c").desc(), F.col("id"))
+        .limit(top_k)
+        .select(F.col("id").alias(id_col), "score_c")
+    )

@@ -226,3 +226,45 @@ def test_embedding_cosine_pairs_no_driver_collect(spark):
     plan = dedup.embedding_cosine_pairs(vecs, "vec_id", "vec", 0.95)._jdf.queryExecution().executedPlan().toString()
     assert "Collect" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_topk_matches_python(spark):
+    """BM25 vs an independent pure-Python implementation, including the
+    per-term integerization contract."""
+    import math
+
+    from conflation_spark.operators.text import bm25_topk
+
+    corpus = [
+        ("a", "spark shuffle spark index data"),
+        ("b", "spark data data data data data data data"),
+        ("c", "index index shuffle"),
+        ("d", "nothing relevant here at all"),
+        ("e", "spark"),
+    ]
+    df = spark.createDataFrame(corpus, "text_id string, text string")
+    got = {
+        r["text_id"]: r["score_c"]
+        for r in bm25_topk(df, ["spark", "index"], id_col="text_id").collect()
+    }
+    toks = {i: t.split() for i, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {
+        q: sum(1 for v in toks.values() if q in v) for q in ("spark", "index")
+    }
+    want = {}
+    for i, v in toks.items():
+        s = 0
+        for q in ("spark", "index"):
+            tf = v.count(q)
+            if not tf:
+                continue
+            idf = math.log((n - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1.0)
+            term = idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len(v) / avgdl))
+            s += math.floor(term * 10000.0 + 0.5)
+        if s:
+            want[i] = s
+    assert got == want
+    # ranking: doc 'a' (two query terms, short) beats spam doc 'b'
+    assert got["a"] > got["b"]
