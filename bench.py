@@ -107,10 +107,17 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = 
 
             ensure_text_fixture(sf_name if sf_name.startswith("sf") else "sf0.1")
 
+            # min-of-2 per query: single-host interference inflates
+            # individual timings 2-5x (documented in BENCH_NOTES); the min
+            # of two back-to-back runs is the reportable number
             for name, fn in em.queries().items():
-                t0 = time.time()
-                fn(spark, sf_dir).count()
-                queries[name] = round(time.time() - t0, 3)
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(spark, sf_dir).count()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                queries[name] = round(best, 3)
 
         # ANN retrieval quality: recall@10 of the approximate methods vs the
         # exact brute-force ground truth on the same (corpus, probe set) —

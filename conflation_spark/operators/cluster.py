@@ -72,6 +72,9 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("nlbl").alias("nmin"))
         )
+        # the change flag rides along in the same pass (nmin < lbl is
+        # exactly "this round improved the label"), so convergence costs
+        # one scan of the checkpointed round output, not another join
         new_labels = (
             labels.join(neigh, "src", "left")
             .select(
@@ -79,17 +82,12 @@ def connected_components(
                 F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias(
                     "lbl"
                 ),
+                (F.col("nmin") < F.col("lbl")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "src")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             return labels.select(F.col("src").alias("id"), F.col("lbl").alias("cluster_id"))
     raise RuntimeError(

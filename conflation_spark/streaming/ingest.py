@@ -139,6 +139,42 @@ def stream_events(spark, input_dir: str, window: str = "1 minute") -> DataFrame:
     return windowed_event_counts(stream, window)
 
 
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (gap-based, data-driven extent) per user:
+    Spark's ``session_window`` merges rows whose gaps stay under ``gap``
+    and closes a session once the watermark passes its end — the
+    streaming twin of the batch lag-window sessionization
+    (`event_sessions`). State is one open session per active user,
+    watermark-bounded; works identically on a batch DataFrame (the
+    equality test runs both)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_event_sessions(spark, input_dir: str, gap: str = "30 minutes") -> DataFrame:
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return session_window_counts(stream, gap)
+
+
 def streaming_exact_dedup(
     documents: DataFrame,
     text_col: str = "text",

@@ -153,3 +153,57 @@ def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
     kept_norm = {re.sub(r"\s+", " ", r["text"].strip().lower()) for r in rows}
     assert kept_norm == {"alpha beta gamma", "delta epsilon", "zeta eta"}
     assert len(rows) == 3  # one winner per digest, across batches AND casing
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """Native session windows: the streaming run (availableNow, append
+    mode) must emit exactly the batch session_window result for every
+    watermark-sealed session, and sessions must match the lag-window
+    sessionization's per-user session count."""
+    from conflation_spark.streaming.ingest import (
+        session_window_counts,
+        stream_event_sessions,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "events_sess_stream")
+    events.repartition(3).write.parquet(src)
+
+    q = (
+        stream_event_sessions(spark, src, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sesscounts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["sess_start"]): (r["sess_end"], r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from sesscounts").collect()
+    }
+    batch = session_window_counts(events, gap="30 minutes").collect()
+    want = {
+        (r["user_id"], r["sess_start"]): (r["sess_end"], r["n_events"], r["sum_value"])
+        for r in batch
+    }
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    # gap semantics parity with the batch lag-window sessionization: same
+    # number of sessions per user (30-min gap both ways)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    te = F.col("ts").cast("timestamp").cast("double")
+    gap = te - F.lag(te).over(w)
+    lag_sessions = (
+        events.withColumn("new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new").alias("n_sessions"))
+    )
+    lag_counts = {r["user_id"]: r["n_sessions"] for r in lag_sessions.collect()}
+    sess_counts: dict = {}
+    for r in batch:
+        sess_counts[r["user_id"]] = sess_counts.get(r["user_id"], 0) + 1
+    assert sess_counts == lag_counts
