@@ -123,6 +123,25 @@ def main():
             "(subset co-partitioning not honored)"
         )
 
+    # 7. as-of / interval joins: the union+window formulation must contain
+    # NO join node (a Join here means Catalyst planned the quadratic
+    # range join this operator exists to avoid)
+    import __spark_entry__ as em
+
+    p7 = plan_of(em.queries()["asof_signup_lag"](spark, "/root/testdata/sf0.001"))
+    asof_joins = len(re.findall(r"Join|BroadcastNestedLoop", p7))
+    print(f"[7] as-of join: join nodes={asof_joins}")
+    if asof_joins:
+        failures.append("as-of join plan contains a Join node")
+
+    # 8. bm25 top-k must plan as TakeOrdered (distributed partial top-k),
+    # never a global Sort + Limit
+    p8 = plan_of(em.queries()["bm25_topk"](spark, "/root/testdata/sf0.001"))
+    has_tako = "TakeOrdered" in p8
+    print(f"[8] bm25 top-k: TakeOrdered={has_tako}")
+    if not has_tako:
+        failures.append("bm25 top-k does not plan as TakeOrdered")
+
     if failures:
         print("\nFAILURES:")
         for f in failures:
