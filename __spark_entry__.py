@@ -19,11 +19,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from conflation_spark.operators.sampling import _thr_hex
-
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+
+from conflation_spark.operators.sampling import _thr_hex  # noqa: E402
 
 
 def _sf_name(sf_dir: str) -> str:
