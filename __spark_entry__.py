@@ -651,6 +651,20 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES): top-10
+    docs per language, inclusion odds proportional to n_chars; membership
+    is a pure function of content hashes (operators/sampling.py). Oracle:
+    the identical ln(u)/w ranking in DuckDB ('0x'||md5-prefix cast)."""
+    from conflation_spark.operators.sampling import weighted_sample_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = weighted_sample_topk(
+        docs, k=10, weight_col="n_chars", key_col="doc_id", stratum_col="lang"
+    )
+    return out.select("doc_id", "lang", F.col("sample_rank").cast("long").alias("rank"))
+
+
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General range join with OVERLAPPING windows: each signup opens a
     7-day window; every same-user event inside ANY window matches (an
@@ -759,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "interval_join_sessions": _q_interval_join,
         "range_join_windows": _q_range_join,
+        "weighted_sample": _q_weighted_sample,
     }
 
 
@@ -1398,6 +1413,26 @@ FROM e ASOF LEFT JOIN a ON e.user_id = a.user_id AND e.ts >= a.ts
             )
             + f"  ELSE '{_thr_hex(0.0, 8)}' END"
         ),
+        # weighted deterministic sampling (A-ES): identical ln(u)/w
+        # ranking; u = (52-bit md5 prefix + 1) / 2^52 on both engines
+        "weighted_sample": """
+WITH v AS (
+  SELECT doc_id, lang, n_chars,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS hv
+  FROM documents
+),
+kx AS (
+  SELECT doc_id, lang,
+         ln((hv + 1) / 4503599627370496.0) / n_chars AS skey
+  FROM v WHERE n_chars > 0
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id) AS rnk
+  FROM kx
+)
+SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 10
+""",
         # general range join (overlapping 7-day signup windows): the
         # bucketized equi-join must equal the plain theta-join
         "range_join_windows": """

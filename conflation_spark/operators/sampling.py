@@ -20,7 +20,7 @@ draws (held-out sets, A/B splits) without correlation between them.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -78,3 +78,54 @@ def stratified_sample(
     default_t = F.lit(_thr_hex(default_fraction, digits))
     thr = default_t if thr is None else thr.otherwise(default_t)
     return df.where(h < thr)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    stratum_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each row draws u from its content hash
+    and ranks by u^(1/w) — computed as ln(u)/w, same ordering, stable
+    numerics — keeping the top k (per stratum when ``stratum_col`` is
+    given). Inclusion probability is proportional to weight; membership
+    is a pure function of (key, salt, weights), reproducible across
+    engines and partitionings like the unweighted sampler above.
+
+    u = (hash53 + 1) / 2^52 from the md5 prefix — 13 hex chars = 52 bits,
+    exact in a double. Rows with weight <= 0 are excluded (they can never
+    win and ln(u)/w would flip sign). Global top-k plans as TakeOrdered
+    (distributed partial top-k); per-stratum uses a window rank. Output
+    adds ``sample_rank`` (1-based).
+    """
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    u = (hv + F.lit(1)).cast("double") / F.lit(float(16**13))
+    skey = F.log(u) / F.col(weight_col)
+    base = df.where(F.col(weight_col) > 0).withColumn("_skey", skey)
+    if stratum_col is None:
+        out = (
+            base.orderBy(F.col("_skey").desc(), F.col(key_col))
+            .limit(k)
+            .withColumn(
+                "sample_rank",
+                F.row_number().over(
+                    Window.orderBy(F.col("_skey").desc(), F.col(key_col))
+                ),
+            )
+        )
+    else:
+        w = Window.partitionBy(stratum_col).orderBy(
+            F.col("_skey").desc(), F.col(key_col)
+        )
+        out = base.withColumn("sample_rank", F.row_number().over(w)).where(
+            F.col("sample_rank") <= k
+        )
+    return out.drop("_skey")

@@ -78,3 +78,37 @@ def test_stratified_quotas(spark, docs):
         .collect()
     }
     assert de_only == want
+
+
+def test_weighted_sample_matches_python_and_prefers_heavy(spark):
+    """A-ES weighted sampling: matches the pure-Python ranking exactly,
+    excludes non-positive weights, and inclusion tracks weight."""
+    import math
+
+    from conflation_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, "s", (i % 7 == 0) * 900 + 10) for i in range(500)]
+    rows.append((998, "s", 0))  # weight 0: excluded
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    out = weighted_sample_topk(df, k=50, weight_col="w", stratum_col="lang")
+    got = [(r["doc_id"], r["sample_rank"]) for r in out.orderBy("sample_rank").collect()]
+
+    def skey(i, w):
+        hv = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+        return math.log((hv + 1) / 4503599627370496.0) / w
+
+    ranked = sorted(
+        ((i, w) for i, s, w in rows if w > 0),
+        key=lambda t: (-skey(t[0], t[1]), t[0]),
+    )
+    want = [(i, r + 1) for r, (i, w) in enumerate(ranked[:50])]
+    assert got == want
+    # heavy rows (w=910, ~14% of population) dominate the sample
+    heavy = sum(1 for i, _ in got if i % 7 == 0)
+    assert heavy > 35
+    assert all(i != 998 for i, _ in got)
+    # global (no stratum) path: TakeOrdered plan, same top-10 set
+    g = weighted_sample_topk(df, k=10, weight_col="w")
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan, plan
+    assert {r["doc_id"] for r in g.collect()} == {i for i, _ in want[:10]}
