@@ -27,6 +27,11 @@ to large-star if a corpus ever trips it.
 Iterative plans grow per round, so each round's label table is
 `localCheckpoint`ed (lineage truncation — without it Catalyst re-analyzes
 an exponentially deepening plan and executors re-run every prior round).
+`localCheckpoint` stores blocks on executors: fast, but an executor loss
+mid-computation fails the job (acceptable — the whole CC re-runs in
+minutes and callers persist only its OUTPUT). For a multi-hour graph on
+a flaky cluster, swap in `df.checkpoint()` against a reliable
+`spark.sparkContext.setCheckpointDir` — one-line change, same plan.
 """
 
 from __future__ import annotations
