@@ -385,6 +385,24 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(synth_blobs(spark, docs))
 
 
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode in the mapInPandas kernel: the fixture's
+    media_blobs carry genuine PNG bytes (stdlib-encoded, all five scanline
+    filters) and Spark decodes them with the stdlib codec
+    (functions/png.py — chunk/CRC parse, inflate, unfilter) to reproduce
+    the truth columns planted from the SOURCE pixels. The oracle just
+    reads the truth; matching it proves the decoder, not the fixture."""
+    from conflation_spark.operators.multimodal import extract_image_features
+
+    blobs = spark.read.parquet(f"{_text_dir(sf_dir)}/media_blobs.parquet")
+    feats = extract_image_features(blobs)
+    q = [
+        F.floor(F.col("feature")[i] * 1e6 + F.lit(0.5)).cast("long").alias(f"f{i}")
+        for i in range(16)
+    ]
+    return feats.select("media_ref", "width", "height", *q)
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.text import with_quality
 
@@ -757,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "media_metadata": _q_media_metadata,
+        "image_features": _q_image_features,
         "text_stats": _q_text_stats,
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
@@ -1142,6 +1161,14 @@ SELECT media_ref,
        CAST(octet_length(content) AS BIGINT) AS n_bytes,
        sha256(hex(content)) AS content_sha256
 FROM b
+""",
+        # image features: Spark DECODES the PNG bytes (stdlib kernel);
+        # the oracle reads the ground truth planted from the source pixels
+        # at fixture-gen time — equality proves the decode, not the SQL
+        "image_features": f"""
+SELECT media_ref, true_width AS width, true_height AS height,
+       {", ".join(f"f{i} AS f{i}" for i in range(16))}
+FROM read_parquet('{td}/media_blobs.parquet')
 """,
         "ann_topk": f"""
 WITH v AS (SELECT vec_id, vec FROM read_parquet('{td}/vectors.parquet')),

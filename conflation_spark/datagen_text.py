@@ -34,6 +34,7 @@ VOCAB = [
 
 SF_TEXT = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 8000, "sf1": 30000}
 SF_VEC = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 6000, "sf1": 20000}
+SF_MEDIA = {"sf0.001": 80, "sf0.01": 400, "sf0.1": 1600, "sf1": 6000}
 DIM = 64
 
 
@@ -140,6 +141,63 @@ def gen_vectors(out_dir: str, n: int, seed: int = 11) -> None:
     pq.write_table(tbl, os.path.join(out_dir, "vectors.parquet"), row_group_size=512)
 
 
+def gen_media_blobs(out_dir: str, n: int, seed: int = 23) -> None:
+    """Real PNG image blobs + planted per-blob ground truth.
+
+    Each row: ``content`` = genuine PNG bytes (stdlib codec, row filters
+    cycling 0..4 so every decoder unfilter path runs in the fixture), and
+    truth columns computed from the SOURCE pixel array before encoding:
+    ``true_width``/``true_height`` and ``f0..f15`` — the quantized 4x4
+    grid-mean feature (``functions/png.image_feature_grid``). PNG is
+    lossless, so Spark's decode-side feature must reproduce the truth
+    exactly; the DuckDB oracle simply reads the truth columns (the
+    ``image_features`` correctness row IS the decoder test).
+
+    Pixels are a deterministic gradient + noise mix (not pure noise, so
+    the deflate path sees realistic compressible data); ~60% RGB, the
+    rest greyscale; dims 8..72 px so the 4x4 grid hits uneven splits.
+    """
+    from conflation_spark.functions.png import (
+        encode_png,
+        image_feature_grid,
+        quantize_feature,
+    )
+
+    rng = np.random.default_rng(seed)
+    refs, blobs, widths, heights = [], [], [], []
+    feats = np.zeros((n, 16), dtype=np.int64)
+    for i in range(n):
+        h = int(rng.integers(8, 73))
+        w = int(rng.integers(8, 73))
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (yy * 255 // max(h - 1, 1) + xx * 255 // max(w - 1, 1)) // 2
+        if rng.random() < 0.6:
+            chans = [
+                np.clip(base + rng.integers(-40, 41, (h, w)) + c * 30, 0, 255)
+                for c in range(3)
+            ]
+            arr = np.stack(chans, axis=2).astype(np.uint8)
+        else:
+            arr = np.clip(base + rng.integers(-40, 41, (h, w)), 0, 255).astype(np.uint8)
+        refs.append(f"m{i:06d}")
+        blobs.append(encode_png(arr, filter_mode="cycle"))
+        widths.append(w)
+        heights.append(h)
+        feats[i] = quantize_feature(image_feature_grid(arr))
+    cols = {
+        "media_ref": pa.array(refs, pa.string()),
+        "media_kind": pa.array(["image"] * n, pa.string()),
+        "content": pa.array(blobs, pa.binary()),
+        "true_width": pa.array(widths, pa.int32()),
+        "true_height": pa.array(heights, pa.int32()),
+    }
+    for j in range(16):
+        cols[f"f{j}"] = pa.array(feats[:, j].tolist(), pa.int64())
+    pq.write_table(
+        pa.table(cols), os.path.join(out_dir, "media_blobs.parquet"), row_group_size=128
+    )
+
+
 def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     root = root or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "text"
@@ -147,12 +205,13 @@ def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     if sf_name not in SF_TEXT:
         sf_name = "sf0.01"
     out = os.path.join(root, sf_name)
-    marker = os.path.join(out, "_SUCCESS_v4")
+    marker = os.path.join(out, "_SUCCESS_v5")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
     gen_textdocs(out, SF_TEXT[sf_name])
     gen_vectors(out, SF_VEC[sf_name])
+    gen_media_blobs(out, SF_MEDIA[sf_name])
     with open(marker, "w") as f:
         f.write("ok")
     return out

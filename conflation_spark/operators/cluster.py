@@ -40,6 +40,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _free_local_checkpoint(ck: DataFrame) -> None:
+    """Free a SUPERSEDED localCheckpoint's executor blocks.
+
+    ``DataFrame.unpersist()`` only talks to the cache manager and is a
+    silent no-op for checkpointed frames (verified empirically) — the
+    blocks belong to the RDD inside the plan's LogicalRDD node, so that is
+    what must be unpersisted. The freed frame is DEAD afterwards (its
+    lineage was truncated); only call this on checkpoints no live plan
+    reads."""
+    try:
+        plan = ck._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: leaked blocks degrade memory, never correctness
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -67,6 +84,7 @@ def connected_components(
         .select("src", F.least(F.col("src"), F.col("_m")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    prev_ckpt = labels  # handle to the round's checkpoint, freed when superseded
 
     for _ in range(max_iter):
         neigh = (
@@ -91,10 +109,21 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        # the eager checkpoint above has materialized: the PREVIOUS round's
+        # label blocks are now dead weight — free them instead of letting
+        # up to max_iter superseded tables pile up in executor storage
+        _free_local_checkpoint(prev_ckpt)
+        prev_ckpt = new_labels
         changed = new_labels.where(F.col("_chg")).limit(1).count()
         labels = new_labels.drop("_chg")
         if changed == 0:
+            # edges are no longer referenced by the (checkpointed) result;
+            # the FINAL labels checkpoint stays alive — the returned frame
+            # reads from it
+            _free_local_checkpoint(edges)
             return labels.select(F.col("src").alias("id"), F.col("lbl").alias("cluster_id"))
+    _free_local_checkpoint(edges)
+    _free_local_checkpoint(prev_ckpt)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "component diameter exceeds the cap — raise max_iter or switch to "

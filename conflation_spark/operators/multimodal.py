@@ -1,15 +1,16 @@
 """Multimodal column handling: image/audio/video as opaque binary + metadata.
 
-The decode libraries (PIL/ffmpeg/etc.) are NOT in this container, so the
-decode kernels are stubbed behind ``NotImplementedError`` with a
-deterministic fake used by tests — but the Spark-side plumbing is real:
-schemas, mapInPandas batch iteration, Arrow binary transfer, partition
-sizing. Swap ``_decode_image_stub`` for a real decoder on a cluster with
-the libs installed and nothing else changes.
-
 Media rides in documents as ``kind='media'`` spans (``media_ref`` keys into
 a blobs table), mirroring the reference where every trace point IS an image
 (Mapillary image ids, /root/reference/conflation/trace_fetching/mapillary.py:41,448-456).
+
+The image path is REAL end-to-end: blobs carry genuine PNG bytes (the
+fixture encodes them with the stdlib codec in ``functions/png.py``) and
+``extract_image_features`` decodes them inside the ``mapInPandas`` kernel —
+chunk/CRC parsing, inflate, all five scanline unfilters — with no PIL or
+other native dependency. Video frame EXTRACTION stays a deterministic
+digest stub (no ffmpeg in any form here), but its Spark-side plumbing
+(schema, batching, per-blob fan-out) is the real shape.
 """
 
 from __future__ import annotations
@@ -22,11 +23,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from conflation_spark.functions.png import decode_png, image_feature_grid
+
 MEDIA_META_SCHEMA = (
     "media_ref string, media_kind string, n_bytes long, content_sha256 string"
 )
 IMAGE_FEATURE_SCHEMA = (
-    "media_ref string, width int, height int, feature array<float>"
+    "media_ref string, width int, height int, feature array<double>"
 )
 FRAME_SAMPLE_SCHEMA = "media_ref string, frame_idx int, frame_sha1 string"
 
@@ -36,7 +39,9 @@ FEATURE_DIM = 16
 def synth_blobs(spark, documents: DataFrame) -> DataFrame:
     """Deterministic fake blob table for every media_ref in the documents
     (content = repeated sha-derived bytes; stands in for real object-store
-    payloads)."""
+    payloads). Used by the METADATA path, whose oracle must rebuild the
+    bytes in SQL — for real decodable image content use the fixture's
+    ``media_blobs.parquet`` (datagen_text.gen_media_blobs)."""
     refs = (
         documents.select(F.explode("spans").alias("s"))
         .where(F.col("s.media_ref") != "")
@@ -53,44 +58,14 @@ def synth_blobs(spark, documents: DataFrame) -> DataFrame:
     )
 
 
-try:  # capability probe: use a real decoder wherever the lib exists
-    from PIL import Image as _PILImage
-
-    HAS_PIL = True
-except ImportError:  # container has no PIL — stub path
-    _PILImage = None
-    HAS_PIL = False
-
-
-def _decode_image_stub(content: bytes) -> tuple[int, int, np.ndarray]:
-    """STUB: real impl would be PIL/turbojpeg decode. Deterministic fake:
-    dims + feature vector derived from the content digest."""
-    if content is None:
-        raise NotImplementedError("real image decode requires PIL — not in container")
-    d = hashlib.sha1(content).digest()
-    width = 64 + d[0]
-    height = 64 + d[1]
-    feat = np.frombuffer(d[:FEATURE_DIM], dtype=np.uint8).astype(np.float32) / 255.0
-    return width, height, feat
-
-
-def _decode_image_pil(content: bytes) -> tuple[int, int, np.ndarray]:
-    """Real decode (used when PIL is importable): dims + a 16-dim feature =
-    mean luminance over a 4x4 grid of the image."""
-    import io
-
-    img = _PILImage.open(io.BytesIO(content)).convert("L")
-    width, height = img.size
-    arr = np.asarray(img, dtype=np.float32) / 255.0
-    gy = np.array_split(arr, 4, axis=0)
-    feat = np.array(
-        [cell.mean() if cell.size else 0.0 for row in gy for cell in np.array_split(row, 4, axis=1)],
-        dtype=np.float32,
-    )
-    return width, height, feat
-
-
-DEFAULT_IMAGE_DECODER = _decode_image_pil if HAS_PIL else _decode_image_stub
+def decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Real image decode: PNG bytes -> (width, height, 16-dim float64
+    feature = 4x4 grid of mean pixel intensity). Raises ValueError on
+    non-PNG/corrupt input — a pipeline batches bad blobs into a quarantine
+    via try/except in its own kernel if it wants salvage semantics."""
+    arr = decode_png(content)
+    h, w = arr.shape[:2]
+    return w, h, image_feature_grid(arr)
 
 
 def media_metadata(blobs: DataFrame) -> DataFrame:
@@ -112,18 +87,18 @@ def media_metadata(blobs: DataFrame) -> DataFrame:
 def extract_image_features(blobs: DataFrame, decoder=None) -> DataFrame:
     """mapInPandas over binary content -> (width, height, feature[16]).
 
-    Real Arrow binary batches; the decode kernel defaults to PIL when the
-    lib is importable (capability probe) and the deterministic stub when not.
-    Partition-friendly: stateless per batch, no driver collection.
+    Arrow binary batches in, a REAL stdlib PNG decode per blob (see
+    ``functions/png.py``), float64 features out. Stateless per batch, no
+    driver collection; ``decoder`` is injectable for tests/other formats.
     """
-    decode = decoder or DEFAULT_IMAGE_DECODER
+    decode = decoder or decode_image
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 w, h, feat = decode(bytes(content))
-                rows.append((ref, w, h, feat.tolist()))
+                rows.append((ref, w, h, [float(x) for x in feat]))
             yield pd.DataFrame(rows, columns=["media_ref", "width", "height", "feature"])
 
     imgs = blobs.where(F.col("media_kind") == "image").select("media_ref", "content")
@@ -132,7 +107,8 @@ def extract_image_features(blobs: DataFrame, decoder=None) -> DataFrame:
 
 def sample_frames(blobs: DataFrame, every_n: int = 2, n_frames: int = 3) -> DataFrame:
     """Video frame-sampling plumbing: mapInPandas emitting n_frames rows per
-    video blob (decode stubbed: frame digest derived from content+idx)."""
+    video blob (decode stubbed: frame digest derived from content+idx —
+    there is no video codec of any kind in this container)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -101,6 +101,17 @@ def weighted_sample_topk(
     win and ln(u)/w would flip sign). Global top-k plans as TakeOrdered
     (distributed partial top-k); per-stratum uses a window rank. Output
     adds ``sample_rank`` (1-based).
+
+    Cross-engine caveat: the rank key ln(u)/w is a raw double, and log()
+    is only 1-ulp-accurate in both JVM libm and DuckDB's — so ACROSS
+    ENGINES a near-tie at the rank-k boundary could in principle order
+    differently (the oracle gate's parity is probabilistic at ~1-ulp odds,
+    not structural like the integerized comparisons elsewhere). WITHIN
+    Spark the result is exactly deterministic regardless of partitioning:
+    u is a pure function of the key, and (skey, key) is a total order.
+    Integerizing the key would need a fixed-point scale covering ln(u)/w's
+    unbounded dynamic range (w spans user space), so the double is kept
+    and the caveat documented instead.
     """
     hv = F.conv(
         F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 13),

@@ -48,6 +48,19 @@ def asof_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in set(key_cols) | {right_ts}
     ]
+    out_names = [f"{prefix}{right_ts}", *[f"{prefix}{c}" for c in right_cols]]
+    clash = sorted(set(out_names) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join output column(s) {clash} collide with left columns; "
+            f"pass a different prefix (got {prefix!r})"
+        )
+    dupes = sorted({n for n in out_names if out_names.count(n) > 1})
+    if dupes:
+        raise ValueError(
+            f"asof_join would emit duplicate output column(s) {dupes}; "
+            "drop the duplicate from right_cols"
+        )
     payload = F.struct(
         F.col(right_ts).alias("_rts"), *[F.col(c) for c in right_cols]
     )
@@ -149,26 +162,32 @@ def range_join_bucketed(
     interval length: cost ~ |L| + |R| * (len/width + 1) exploded rows.
     ``max_buckets_per_interval`` fails fast on intervals that would
     explode past the cap (a year-long interval at 1s buckets is a config
-    error, not a workload).
+    error, not a workload). The cap check lives INSIDE the exploding
+    projection (``assert_true`` guarding the sequence bound), so the
+    builder stays fully lazy and ``right`` is scanned exactly once — at
+    the join — instead of an extra eager guard pass per call.
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in set(key_cols) | {start_col, end_col}
     ]
     b0 = F.floor(F.col(start_col) / bucket_width).cast("long")
     b1 = F.floor(F.col(end_col) / bucket_width).cast("long")
-    guarded = right.withColumn("_nb", b1 - b0 + 1)
-    over = guarded.where(F.col("_nb") > max_buckets_per_interval).limit(1).count()
-    if over:
-        raise ValueError(
+    guard = F.assert_true(
+        b1 - b0 + 1 <= F.lit(max_buckets_per_interval),
+        F.lit(
             f"an interval spans more than {max_buckets_per_interval} buckets "
             f"of width {bucket_width}; raise bucket_width or the cap"
-        )
-    r = guarded.select(
+        ),
+    )
+    # assert_true yields NULL when the predicate holds; wiring it into the
+    # sequence's upper bound keeps it un-prunable and evaluated per row
+    b1_checked = F.when(guard.isNull(), b1)
+    r = right.select(
         *key_cols,
         F.col(start_col).alias(f"{prefix}{start_col}"),
         F.col(end_col).alias(f"{prefix}{end_col}"),
         *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
-        F.explode(F.sequence(b0, b1)).alias("_bucket"),
+        F.explode(F.sequence(b0, b1_checked)).alias("_bucket"),
     )
     lt = left.withColumn(
         "_bucket", F.floor(F.col(left_ts) / bucket_width).cast("long")

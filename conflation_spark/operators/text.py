@@ -51,11 +51,10 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(toks)
     en_sw = LANG_STOPWORDS["en"]
     n_stop = F.size(F.filter(toks, lambda x: x.isin(en_sw)))
-    mean_tok_len = F.when(
-        n_tokens > 0,
-        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-        / n_tokens,
-    )
+    # sum of token lengths == length of the separator-less concat: stays in
+    # whole-stage codegen (an F.aggregate lambda runs interpreted per row —
+    # CLAUDE.md rule 3)
+    mean_tok_len = F.when(n_tokens > 0, F.length(F.concat_ws("", toks)) / n_tokens)
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
     score = (
@@ -87,12 +86,10 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     # (expressed as a CASE chain so the DuckDB oracle is literally the same)
     langs = sorted(LANG_STOPWORDS)
     m = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
-    pred = F
     expr = None
     for lang in langs:
         cond = F.col(f"hits_{lang}") == m
         expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
-    del pred
     return out.withColumn("lang_pred", expr)
 
 

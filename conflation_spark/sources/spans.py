@@ -34,18 +34,22 @@ def load_documents(spark, source: str) -> DataFrame:
     container has no Iceberg jars, so CI covers the branch with temp views
     and skips the format-specific test (see tests/test_spans.py).
 
-    Routing: an explicit ``table:`` prefix or a path that does NOT exist on
-    the filesystem is a catalog identifier; an existing path is a fixture
-    directory (round-2 inferred from '/' which misread a relative dir like
-    ``sf1`` as a table name).
+    Routing: an explicit ``table:`` prefix is a catalog identifier; a
+    source containing a URI scheme (``s3://``, ``hdfs://``, ...) is ALWAYS
+    a path — the driver-local filesystem can't see cluster storage, so the
+    ``os.path.exists`` probe must not demote it to a table name (it would
+    fail with a confusing table-not-found) — as is any existing local
+    path; anything else is a catalog identifier. (Round-2 inferred from
+    '/' which misread a relative dir like ``sf1`` as a table name;
+    round-3 used bare ``os.path.exists`` which misrouted URI paths.)
     """
     import os
 
     if source.startswith("table:"):
         return spark.read.table(source[len("table:"):])
-    if not os.path.exists(source):
-        return spark.read.table(source)
-    return spark.read.parquet(os.path.join(source, "documents.parquet"))
+    if "://" in source or os.path.exists(source):
+        return spark.read.parquet(os.path.join(source, "documents.parquet"))
+    return spark.read.table(source)
 
 
 def decode_points(documents: DataFrame) -> DataFrame:

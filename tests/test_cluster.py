@@ -78,3 +78,29 @@ def test_connected_components_max_iter_raises(spark):
     # enough rounds: fine
     out = connected_components(pdf, max_iter=12)
     assert out.where(F.col("cluster_id") != "c00").count() == 0
+
+
+def test_connected_components_frees_superseded_checkpoints(spark):
+    """Each round's localCheckpoint supersedes the previous one; the loop
+    must free old label/edge blocks (via the underlying RDD — plain
+    DataFrame.unpersist is a no-op for checkpoints) so long runs don't
+    accumulate max_iter dead tables in executor storage. After the run at
+    most ONE new persistent RDD (the final labels) may remain, and the
+    result must still be readable."""
+    from conflation_spark.operators.cluster import connected_components
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    # a chain a-b-c-d-e (diameter 4) forces several propagation rounds
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    cc = connected_components(pairs)
+    got = {r["id"]: r["cluster_id"] for r in cc.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "x": "x", "y": "x"}
+    assert n_persistent() - before <= 1
+    # still readable after the superseded rounds were freed
+    assert cc.count() == 7

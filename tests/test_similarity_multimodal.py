@@ -81,18 +81,6 @@ def test_multimodal_plumbing(spark, fixture_dir):
     assert all(r["n_bytes"] == 32 for r in m)  # sha256-derived fake payloads
     assert len({r["media_kind"] for r in m}) == 3
 
-    # fake blobs are not decodable images: pin the stub decoder explicitly
-    # (the default is PIL wherever that lib exists — capability probe)
-    feats = multimodal.extract_image_features(
-        blobs, decoder=multimodal._decode_image_stub
-    ).collect()
-    n_images = blobs.where(F.col("media_kind") == "image").count()
-    assert len(feats) == n_images
-    for r in feats[:5]:
-        assert 64 <= r["width"] <= 320 and 64 <= r["height"] <= 320
-        assert len(r["feature"]) == multimodal.FEATURE_DIM
-        assert all(0.0 <= x <= 1.0 for x in r["feature"])
-
     frames = multimodal.sample_frames(blobs, every_n=2, n_frames=3)
     n_videos = blobs.where(F.col("media_kind") == "video").count()
     assert frames.count() == 3 * n_videos
@@ -100,36 +88,47 @@ def test_multimodal_plumbing(spark, fixture_dir):
     assert idxs == {0, 2, 4}
 
 
-def test_multimodal_decode_stub_raises_on_none():
-    with pytest.raises(NotImplementedError):
-        multimodal._decode_image_stub(None)
-
-
-def test_multimodal_default_decoder_matches_capability():
-    want = multimodal._decode_image_pil if multimodal.HAS_PIL else multimodal._decode_image_stub
-    assert multimodal.DEFAULT_IMAGE_DECODER is want
-
-
-@pytest.mark.skipif(not multimodal.HAS_PIL, reason="PIL not installed in this container")
-def test_multimodal_real_decode_roundtrip(spark):
-    """Real-decoder path: encode a tiny PNG with PIL, decode it through the
-    Spark plumbing, check dims + the 4x4 luminance feature."""
-    import io
-
-    from PIL import Image
-
-    img = Image.new("L", (8, 12), color=128)
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    blobs = spark.createDataFrame(
-        [("imgX", buf.getvalue(), "image")], "media_ref string, content binary, media_kind string"
+def test_image_features_real_decode_matches_planted_truth(spark):
+    """The REAL decode path end-to-end: the fixture's media_blobs carry
+    genuine PNG bytes (all five scanline filters) plus truth columns
+    computed from the source pixels; extract_image_features must reproduce
+    width/height and the quantized 4x4 grid feature exactly, for EVERY
+    blob."""
+    d = ensure_text_fixture("sf0.001")
+    blobs = spark.read.parquet(f"{d}/media_blobs.parquet")
+    feats = multimodal.extract_image_features(blobs)
+    q = [
+        F.floor(F.col("feature")[i] * 1e6 + F.lit(0.5)).cast("long").alias(f"g{i}")
+        for i in range(16)
+    ]
+    got = feats.select("media_ref", "width", "height", *q)
+    joined = got.join(blobs, "media_ref")
+    n = blobs.count()
+    assert joined.count() == n
+    ok = joined.where(
+        (F.col("width") == F.col("true_width"))
+        & (F.col("height") == F.col("true_height"))
+        & F.expr(" AND ".join(f"g{i} = f{i}" for i in range(16)))
     )
-    rows = multimodal.extract_image_features(blobs).collect()
-    assert len(rows) == 1
-    r = rows[0]
-    assert (r["width"], r["height"]) == (8, 12)
-    assert len(r["feature"]) == multimodal.FEATURE_DIM
-    assert all(abs(x - 128 / 255.0) < 1e-5 for x in r["feature"])
+    assert ok.count() == n
+
+
+def test_multimodal_decode_raises_on_garbage():
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"not a png at all")
+
+
+def test_multimodal_decoder_injectable(spark):
+    """The decoder kwarg still allows swapping kernels (e.g. a JPEG decoder
+    on a cluster that has one) without touching the Spark plumbing."""
+    blobs = spark.createDataFrame(
+        [("x", b"\x01\x02", "image")],
+        "media_ref string, content binary, media_kind string",
+    )
+    fake = lambda content: (2, 3, np.full(16, 0.5))  # noqa: E731
+    rows = multimodal.extract_image_features(blobs, decoder=fake).collect()
+    assert rows[0]["width"] == 2 and rows[0]["height"] == 3
+    assert rows[0]["feature"] == [0.5] * 16
 
 
 def test_ivf_topk_finds_true_neighbors(spark, vectors):

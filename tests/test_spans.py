@@ -92,3 +92,20 @@ def test_load_documents_iceberg_format(spark, fixture_dir):
     from conflation_spark.sources.spans import decode_points, load_documents
 
     assert decode_points(load_documents(spark, "ice.db.documents")).count() > 0
+
+
+def test_load_documents_uri_scheme_routes_to_path(spark, fixture_dir):
+    """A URI-scheme source (s3://, file://...) is a PATH even though the
+    driver-local os.path.exists can't see it — it must never be demoted to
+    a catalog identifier (ADVICE r3). file:// over the fixture proves the
+    routing end-to-end; an s3:// path must fail with a filesystem error,
+    not TABLE_OR_VIEW_NOT_FOUND."""
+    import pytest
+
+    from conflation_spark.sources.spans import load_documents
+
+    docs = load_documents(spark, f"file://{fixture_dir}")
+    assert docs.count() > 0
+    with pytest.raises(Exception) as ei:
+        load_documents(spark, "s3://no-such-bucket/prefix").count()
+    assert "TABLE_OR_VIEW_NOT_FOUND" not in str(ei.value)

@@ -136,15 +136,61 @@ def test_range_join_bucketed_matches_bruteforce(spark):
     assert got == want and (999, 999) in got
 
 
-def test_range_join_bucket_cap_raises(spark):
+def test_range_join_bucket_cap_raises_lazily(spark):
+    """The explosion cap is embedded in the plan (assert_true in the
+    exploding projection): the builder stays action-free — no job runs at
+    call time, `right` is scanned once — and an oversized interval still
+    fails with the clear message on first action."""
+    from pyspark.errors.exceptions.base import PySparkException
+
     from conflation_spark.operators.temporal import range_join_bucketed
 
     left = spark.createDataFrame([(1, "u", 5.0)], "event_id long, user_id string, ts double")
     right = spark.createDataFrame([("u", 0.0, 1e6, 1)], "user_id string, start double, end double, win long")
     import pytest
 
-    with pytest.raises(ValueError, match="buckets"):
-        range_join_bucketed(
-            left, right, ["user_id"], "ts", "start", "end",
-            bucket_width=1.0, right_cols=["win"], max_buckets_per_interval=100,
-        )
+    # building is lazy — no error, no job
+    j = range_join_bucketed(
+        left, right, ["user_id"], "ts", "start", "end",
+        bucket_width=1.0, right_cols=["win"], max_buckets_per_interval=100,
+    )
+    with pytest.raises(PySparkException, match="buckets"):
+        j.count()
+
+
+def test_range_join_scans_right_once(spark):
+    """The lazy guard removed the eager count(): the physical plan must
+    contain exactly one scan of the right side."""
+    from conflation_spark.operators.temporal import range_join_bucketed
+
+    left = spark.range(10).selectExpr("id as event_id", "'u' as user_id", "CAST(id AS DOUBLE) as ts")
+    right = spark.createDataFrame(
+        [("u", 0.0, 5.0, 1)], "user_id string, start double, end double, win long"
+    )
+    j = range_join_bucketed(
+        left, right, ["user_id"], "ts", "start", "end",
+        bucket_width=2.0, right_cols=["win"],
+    )
+    # the only RDD scan in the plan is the right side (left is Range);
+    # exactly one — the old eager guard would have scanned right twice
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1, plan
+    assert j.count() == 6  # ts 0..5 inclusive
+
+
+def test_asof_join_rejects_output_name_collisions(spark):
+    """Prefixed output names colliding with left columns must fail loudly
+    (silent duplicate column names break downstream by-name access)."""
+    import pytest
+
+    from conflation_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 5.0, 9.9)], "event_id long, user_id string, ts double, anchor_ts double"
+    )
+    right = spark.createDataFrame([("u", 1.0, 7)], "user_id string, ts double, v long")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["user_id"], "ts", "ts")
+    # a non-colliding prefix works
+    out = asof_join(left, right, ["user_id"], "ts", "ts", prefix="a2_")
+    assert out.columns.count("anchor_ts") == 1 and "a2_ts" in out.columns
