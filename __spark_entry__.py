@@ -732,6 +732,48 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+KMV_K = 64
+QSKETCH_LO, QSKETCH_HI, QSKETCH_BINS = 0.0, 500.0, 128
+
+
+def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV distinct-count sketch per event_type (bottom-64
+    distinct 52-bit md5 hashes of user_id + the (k-1)/R(h_k) estimate) —
+    operators/sketch.py. Deterministic by construction, so the DuckDB
+    twin rebuilds the identical bottom-k and estimate."""
+    from conflation_spark.operators.sketch import kmv_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = kmv_sketch(ev, "user_id", k=KMV_K, group_cols=["event_type"])
+    return sk.select(
+        "event_type",
+        F.array_join(F.transform("sketch", lambda x: x.cast("string")), "|").alias(
+            "sketch_str"
+        ),
+        "n_retained",
+        "est_distinct",
+    )
+
+
+def _q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid histogram sketch (mergeable by bin-wise addition) +
+    interpolated p95 per event_type — operators/sketch.py. The grid
+    [0,500)x128 gives width 3.90625 (exact in binary), so both engines
+    compute identical doubles before the x100 integerization."""
+    from conflation_spark.operators.sketch import histogram_quantile, quantile_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = quantile_histogram(
+        ev, "value", QSKETCH_LO, QSKETCH_HI, QSKETCH_BINS, group_cols=["event_type"]
+    )
+    qv = histogram_quantile(
+        h, 0.95, QSKETCH_LO, QSKETCH_HI, QSKETCH_BINS, group_cols=["event_type"]
+    )
+    return qv.select(
+        "event_type", F.round(F.col("q_value") * 100).cast("long").alias("q95_c")
+    )
+
+
 def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -793,6 +835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_sessions": _q_interval_join,
         "range_join_windows": _q_range_join,
         "weighted_sample": _q_weighted_sample,
+        "kmv_distinct": _q_kmv_distinct,
+        "quantile_sketch": _q_quantile_sketch,
     }
 
 
@@ -1533,6 +1577,53 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch, event_type
        round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
 FROM events
 GROUP BY 1, 2
+""",
+        # KMV sketch: identical 52-bit md5-prefix hashes -> identical
+        # bottom-64 set and identical (k-1)/R(h_k) estimate in both engines
+        "kmv_distinct": f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) AS hv
+  FROM events
+),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+)
+SELECT event_type,
+       array_to_string(list_sort(list(hv)), '|') AS sketch_str,
+       CAST(count(*) AS BIGINT) AS n_retained,
+       CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS BIGINT)
+            ELSE CAST(floor(CAST({KMV_K - 1} AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / (max(hv) + CAST(1 AS DOUBLE)) + 0.5) AS BIGINT)
+       END AS est_distinct
+FROM r WHERE rn <= {KMV_K}
+GROUP BY event_type
+""",
+        # quantile histogram sketch: fixed grid [0,500)x128 (width
+        # 3.90625, exact in binary) + in-bin linear interpolation at p95
+        "quantile_sketch": f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(least(greatest(floor((value - {QSKETCH_LO})/({QSKETCH_HI} - {QSKETCH_LO})*{QSKETCH_BINS}.0), 0), {QSKETCH_BINS - 1}) AS BIGINT) AS bin,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS tot
+  FROM h
+),
+hit AS (
+  SELECT event_type, bin, n, cum, tot,
+         row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rn
+  FROM c WHERE CAST(cum AS DOUBLE) >= 0.95 * CAST(tot AS DOUBLE)
+)
+SELECT event_type,
+       CAST(round(({QSKETCH_LO} + (CAST(bin AS DOUBLE) + (0.95 * CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE)) / CAST(n AS DOUBLE)) * {(QSKETCH_HI - QSKETCH_LO) / QSKETCH_BINS}) * 100) AS BIGINT) AS q95_c
+FROM hit WHERE rn = 1
 """,
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
