@@ -732,6 +732,31 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def _q_stream_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join builder (streaming/ingest.
+    interval_enrich) run in BATCH mode — same code path the streaming
+    query executes (watermark no-op, time-range clauses plain
+    predicates); the stream==batch parity pytest covers the streaming
+    run, this oracle row covers the join semantics. Windows = 6-day
+    validity from each signup event; state-bound contract 7 days."""
+    from conflation_spark.streaming.ingest import interval_enrich
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wins = ev.where(F.col("event_type") == "signup").selectExpr(
+        "user_id", "ts as start", "ts + INTERVAL 6 DAYS as end", "event_id as win_id"
+    )
+    j = interval_enrich(
+        ev, wins, ["user_id"], "ts", "start", "end", max_duration="7 days"
+    )
+    tsec = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("rj_win_id").alias("win_id"),
+        F.round((tsec("ts") - tsec("rj_start")) * 1000).cast("long").alias("into_ms"),
+    )
+
+
 KMV_K = 64
 QSKETCH_LO, QSKETCH_HI, QSKETCH_BINS = 0.0, 500.0, 128
 
@@ -837,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "kmv_distinct": _q_kmv_distinct,
         "quantile_sketch": _q_quantile_sketch,
+        "stream_interval_join": _q_stream_interval,
     }
 
 
@@ -1577,6 +1603,20 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch, event_type
        round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
 FROM events
 GROUP BY 1, 2
+""",
+        # stream-stream interval join builder, batch mode: plain BETWEEN
+        # join in DuckDB (quadratic is fine at oracle scale)
+        "stream_interval_join": """
+WITH e AS (SELECT event_id, user_id, ts FROM events),
+w AS (
+  SELECT user_id, ts AS w_start, ts + INTERVAL 6 DAY AS w_end,
+         event_id AS win_id
+  FROM events WHERE event_type = 'signup'
+)
+SELECT e.event_id, e.user_id, w.win_id,
+       CAST(round((epoch(e.ts) - epoch(w.w_start)) * 1000) AS BIGINT) AS into_ms
+FROM e JOIN w ON e.user_id = w.user_id
+             AND e.ts >= w.w_start AND e.ts <= w.w_end
 """,
         # KMV sketch: identical 52-bit md5-prefix hashes -> identical
         # bottom-64 set and identical (k-1)/R(h_k) estimate in both engines

@@ -175,6 +175,87 @@ def stream_event_sessions(spark, input_dir: str, gap: str = "30 minutes") -> Dat
     return session_window_counts(stream, gap)
 
 
+def interval_enrich(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    max_duration: str = "7 days",
+    watermark: str = "1 hour",
+    right_cols: list[str] | None = None,
+    prefix: str = "rj_",
+) -> DataFrame:
+    """Stream-stream interval join: each left event row joins every right
+    interval [start, end] (TIMESTAMP columns, inclusive) covering it, per
+    key — the streaming twin of the batch ``range_join_bucketed``
+    (operators/temporal.py), and the one streaming shape a real event
+    pipeline needs that windows/sessions/dedup don't cover.
+
+    State bounding is the whole design: Spark only bounds stream-stream
+    join state when the condition carries an explicit event-time range
+    between the two streams, so the join clause is
+
+        l.ts >= r.start AND l.ts <= r.start + max_duration   (state bound)
+        AND l.ts <= r.end                                    (exact residual)
+
+    with watermarks on BOTH sides. ``max_duration`` is the caller's
+    contract on the longest interval (the analog of the batch operator's
+    ``max_buckets_per_interval``): intervals longer than it are silently
+    truncated at the bound, so size it to the real maximum. Rows later
+    than ``watermark`` are dropped; state per key is |right rows younger
+    than watermark + max_duration| + |left rows younger than watermark|.
+
+    Works identically on BATCH frames (withWatermark is a no-op there and
+    the time-range clauses are plain predicates) — the parity tests and
+    the DuckDB oracle run exactly this builder in batch mode.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in set(key_cols) | {start_col, end_col}
+    ]
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(start_col, watermark).select(
+        *[F.col(k).alias(f"_rk_{k}") for k in key_cols],
+        F.col(start_col).alias(f"{prefix}{start_col}"),
+        F.col(end_col).alias(f"{prefix}{end_col}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+    ps, pe = f"{prefix}{start_col}", f"{prefix}{end_col}"
+    cond = (
+        (F.col(left_ts) >= F.col(ps))
+        & (F.col(left_ts) <= F.col(ps) + F.expr(f"INTERVAL {max_duration}"))
+        & (F.col(left_ts) <= F.col(pe))
+    )
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"_rk_{k}"))
+    return l.join(r, cond, "inner").drop(*[f"_rk_{k}" for k in key_cols])
+
+
+def stream_interval_enrich(
+    spark,
+    events_dir: str,
+    windows_dir: str,
+    key_cols: list[str] | None = None,
+    max_duration: str = "7 days",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """readStream wiring for ``interval_enrich`` over two parquet event
+    directories (events: the standard event schema; windows:
+    (user_id, start, end, win_id))."""
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    win_schema = "user_id long, start timestamp, end timestamp, win_id long"
+    ev = spark.readStream.schema(ev_schema).parquet(events_dir)
+    win = spark.readStream.schema(win_schema).parquet(windows_dir)
+    return interval_enrich(
+        ev, win, key_cols or ["user_id"], "ts", "start", "end",
+        max_duration=max_duration, watermark=watermark,
+    )
+
+
 def streaming_exact_dedup(
     documents: DataFrame,
     text_col: str = "text",

@@ -207,3 +207,86 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
     for r in batch:
         sess_counts[r["user_id"]] = sess_counts.get(r["user_id"], 0) + 1
     assert sess_counts == lag_counts
+
+
+def _signup_windows(events):
+    """Per-user validity windows from signup events: [ts, ts + 6 days]."""
+    return (
+        events.where(F.col("event_type") == "signup")
+        .selectExpr(
+            "user_id",
+            "ts as start",
+            "ts + INTERVAL 6 DAYS as end",
+            "event_id as win_id",
+        )
+    )
+
+
+def test_interval_enrich_batch_equals_range_join(spark):
+    """The stream-stream builder run in BATCH mode (watermark is a no-op,
+    the time-range clauses are plain predicates) must equal the batch
+    range_join_bucketed on the same data — the documented batch twin."""
+    from conflation_spark.operators.temporal import range_join_bucketed
+    from conflation_spark.streaming.ingest import interval_enrich
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    wins = _signup_windows(events)
+    got = {
+        (r["event_id"], r["rj_win_id"])
+        for r in interval_enrich(
+            events, wins, ["user_id"], "ts", "start", "end", max_duration="7 days"
+        ).collect()
+    }
+    # TIMESTAMP_NTZ needs the two-step cast (CLAUDE.md rule 7)
+    tsec = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    lsec = events.withColumn("tsec", tsec("ts"))
+    rsec = wins.select(
+        "user_id",
+        tsec("start").alias("start"),
+        tsec("end").alias("end"),
+        "win_id",
+    )
+    want = {
+        (r["event_id"], r["rj_win_id"])
+        for r in range_join_bucketed(
+            lsec, rsec, ["user_id"], "tsec", "start", "end",
+            bucket_width=86400.0, right_cols=["win_id"],
+        ).collect()
+    }
+    assert got and got == want
+
+
+def test_stream_stream_interval_join_available_now(spark, tmp_path):
+    """Watermarked stream-stream interval join: two parquet streams
+    (events, windows) joined with the event-time range condition; the
+    availableNow run must emit exactly the batch-mode matches."""
+    from conflation_spark.streaming.ingest import interval_enrich, stream_interval_enrich
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    wins = _signup_windows(events)
+    ev_dir = str(tmp_path / "ss_events")
+    win_dir = str(tmp_path / "ss_windows")
+    events.repartition(3).write.parquet(ev_dir)
+    wins.coalesce(1).write.parquet(win_dir)
+
+    out = stream_interval_enrich(spark, ev_dir, win_dir, max_duration="7 days")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_interval")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["event_id"], r["rj_win_id"])
+        for r in spark.sql("select event_id, rj_win_id from ss_interval").collect()
+    }
+    want = {
+        (r["event_id"], r["rj_win_id"])
+        for r in interval_enrich(
+            events, wins, ["user_id"], "ts", "start", "end", max_duration="7 days"
+        ).collect()
+    }
+    assert got and got == want
