@@ -327,6 +327,59 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# corpus/delta split point for the incremental-dedup query (ids are
+# t000000..; the split puts ~60% in the corpus, the rest in the delta)
+INCR_SPLIT = "t001200"
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup end-state == from-scratch (operators/incremental):
+    checkpoint the corpus band table (bucketed, zero re-hash), label the
+    corpus, band-join ONLY the delta, fold new pairs into the prior labels
+    via star edges. Pairs are jaccard-verified (left-semi against the
+    exact pair set, recall-1 on the fixture like minhash_lsh_verified), so
+    the final assignment must equal the from-scratch dedup_clusters — the
+    oracle is literally the same recursive min-label CTE over the FULL
+    pair graph."""
+    from conflation_spark.operators.cluster import dedup_clusters
+    from conflation_spark.operators.dedup import ngram_jaccard_pairs
+    from conflation_spark.operators.incremental import (
+        checkpoint_band_table,
+        corpus_self_pairs,
+        incremental_components,
+        incremental_minhash_pairs,
+    )
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    corpus = td.where(F.col("text_id") < INCR_SPLIT)
+    delta = td.where(F.col("text_id") >= INCR_SPLIT)
+    tbl = "oracle_corpus_bands"
+    checkpoint_band_table(corpus, tbl, "text_id", "text")
+    exact = ngram_jaccard_pairs(
+        td, "text_id", "text", 3, 0.8, max_doc_freq=NGRAM_MAX_DF
+    ).select("id_a", "id_b")
+    corpus_pairs = exact.join(corpus_self_pairs(spark, tbl), ["id_a", "id_b"], "left_semi")
+    labels0 = dedup_clusters(corpus, corpus_pairs, id_col="text_id").select(
+        F.col("text_id").alias("id"), "cluster_id"
+    )
+    inc_cands = incremental_minhash_pairs(spark, tbl, delta, "text_id", "text")
+    inc_pairs = exact.join(inc_cands, ["id_a", "id_b"], "left_semi")
+    cc = incremental_components(inc_pairs, labels0)
+    all_ids = td.select(F.col("text_id").alias("id"))
+    prior = labels0.select("id", F.col("cluster_id").alias("_prior"))
+    return (
+        all_ids.join(cc, "id", "left")
+        .join(prior, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("cluster_id"), F.col("_prior"), F.col("id")).alias(
+                "cluster_id"
+            ),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 def _q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.dedup import embedding_cosine_pairs
 
@@ -836,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_verified": _q_minhash_verified,
         "simhash_pairs": _q_simhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "incremental_dedup_clusters": _q_incremental_dedup,
         "bm25_topk": _q_bm25_topk,
         "embedding_cosine_pairs": _q_cosine_neardup,
         "ann_topk": _q_ann_topk,
@@ -1127,6 +1181,29 @@ FROM t GROUP BY id ORDER BY score_c DESC, doc_id LIMIT 20
         # monotone, so the CTE reaches the same fixpoint as the Spark
         # hash-min loop); docs in no pair are singletons
         "dedup_clusters": f"""
+WITH RECURSIVE p AS (SELECT id_a, id_b FROM ({jaccard_sql})),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION
+  SELECT id_b AS a, id_a AS b FROM p
+),
+cc(node, lbl) AS (
+  SELECT a, least(a, MIN(b)) FROM sym GROUP BY a
+  UNION
+  SELECT s.a, MIN(c.lbl) FROM sym s JOIN cc c ON s.b = c.node GROUP BY s.a
+),
+final AS (SELECT node, MIN(lbl) AS cluster FROM cc GROUP BY node)
+SELECT d.text_id AS doc_id,
+       coalesce(f.cluster, d.text_id) AS cluster_id,
+       (d.text_id = coalesce(f.cluster, d.text_id)) AS keep
+FROM read_parquet('{td}/textdocs.parquet') d
+LEFT JOIN final f ON f.node = d.text_id
+""",
+        # incremental dedup's END STATE must equal the from-scratch
+        # clustering — the oracle is the identical full-graph CTE; the
+        # incremental mechanics (bucketed checkpoint, delta-only band
+        # join, star-edge seeding) are what the Spark side exercises
+        "incremental_dedup_clusters": f"""
 WITH RECURSIVE p AS (SELECT id_a, id_b FROM ({jaccard_sql})),
 sym AS (
   SELECT id_a AS a, id_b AS b FROM p

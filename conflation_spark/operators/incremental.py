@@ -1,0 +1,202 @@
+"""Incremental deduplication: new-batch (delta) vs an existing corpus.
+
+A real pipeline ingests a daily delta and must dedup it against the
+full corpus WITHOUT recomputing the corpus: at 10^12 documents,
+re-shingling and re-minhashing the whole history per day is the cost
+that kills the naive design. The contract here:
+
+1. ``checkpoint_band_table`` persists the corpus's minhash band rows
+   (id, band_idx, band_hash) ONCE as a parquet table BUCKETED on
+   ``band_hash``. Bucketing is the load-bearing choice: a bucketed scan
+   reports hash(band_hash) output partitioning, so the later delta-join
+   shuffles ONLY the delta — the corpus is never re-hashed (its text is
+   not even read) and never re-shuffled (plan-asserted in tests; the
+   session's ``requireAllClusterKeysForCoPartition=false`` lets the
+   (band_idx, band_hash) join accept the band_hash-only partitioning,
+   CLAUDE.md rule 9).
+2. ``incremental_minhash_pairs`` bands the DELTA only and emits the new
+   candidate pairs: delta x delta (self-join) plus delta x corpus
+   (join against the checkpointed band table).
+3. ``incremental_components`` folds the new pairs into the PRIOR label
+   assignment without replaying corpus pairs: a prior label table is the
+   transitive closure of the corpus pair graph, so the star edges
+   (id -> cluster_id) generate exactly the same components — running CC
+   on (label stars UNION new pairs) provably equals from-scratch CC on
+   (corpus pairs UNION new pairs), and label stars have diameter 2, so
+   the iteration count stays at the NEW graph's diameter.
+
+End-state equality with the from-scratch run is tested exactly
+(tests/test_incremental.py). The reference has no incremental analog
+(its dedup is per-scan sequence-ID distinct, mapillary.py:520-616
+re-lists every tile each run); this is the LLM-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from conflation_spark.operators.cluster import connected_components
+from conflation_spark.operators.dedup import _minhash_banded
+
+BAND_BUCKETS = 16
+
+
+def checkpoint_band_table(
+    df: DataFrame,
+    table_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    n_buckets: int = BAND_BUCKETS,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Compute the corpus band table and persist it bucketed+sorted on
+    ``band_hash`` (catalog table under the warehouse dir). Returns the
+    re-registered table — reading it back costs a bucketed file scan,
+    zero hashing, zero shuffle. ``mode='append'`` grows the corpus
+    checkpoint with a new batch's bands after that batch is folded in."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # an in-memory catalog (fresh session) can leave a STALE warehouse
+        # directory behind for a table it no longer knows about, and
+        # managed-table creation refuses to reuse the location — drop both
+        # the entry and the directory through the Hadoop FS API (works on
+        # any filesystem, not just local)
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        jvm = spark._jvm
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = jvm.org.apache.hadoop.fs.Path(wh, table_name.split(".")[-1].lower())
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
+    banded = _minhash_banded(df, id_col, text_col, n_hashes, bands, shingle_k)
+    (
+        banded.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, "band_hash")
+        .sortBy("band_hash")
+        .saveAsTable(table_name)
+    )
+    return spark.table(table_name)
+
+
+def corpus_self_pairs(spark, table_name: str) -> DataFrame:
+    """Corpus-internal candidate pairs from the checkpointed band table —
+    both join sides are the bucketed scan, so the self-join runs with NO
+    exchange at all (co-partitioned on band_hash) and no re-hashing."""
+    banded = spark.table(table_name)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def incremental_minhash_pairs(
+    spark,
+    corpus_table: str,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """New candidate pairs introduced by the delta: delta x delta plus
+    delta x corpus. Only the delta is shingled/hashed; the corpus side is
+    the bucketed checkpoint scan (shuffle lands on the delta branch).
+    Band parameters MUST match the ones the checkpoint was built with —
+    band hashes are only comparable within one (n_hashes, bands,
+    shingle_k, seed) family."""
+    d = _minhash_banded(delta, id_col, text_col, n_hashes, bands, shingle_k)
+    corpus = spark.table(corpus_table)
+    dd_a, dd_b = d.alias("a"), d.alias("b")
+    delta_delta = dd_a.join(
+        dd_b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    dc_d, dc_c = d.alias("d"), corpus.alias("c")
+    delta_corpus = dc_d.join(
+        dc_c,
+        (F.col("d.band_idx") == F.col("c.band_idx"))
+        & (F.col("d.band_hash") == F.col("c.band_hash")),
+    ).select(
+        F.least(F.col("d.id"), F.col("c.id")).alias("id_a"),
+        F.greatest(F.col("d.id"), F.col("c.id")).alias("id_b"),
+    )
+    return delta_delta.unionByName(delta_corpus).where(
+        F.col("id_a") != F.col("id_b")
+    ).distinct()
+
+
+def incremental_components(
+    new_pairs: DataFrame,
+    prior_labels: DataFrame,
+    id_col: str = "id",
+    label_col: str = "cluster_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Fold new pairs into a prior (id, cluster_id) assignment: run CC on
+    the prior labels' star edges UNION the new pairs. Exactly equal to
+    from-scratch CC over (old pairs UNION new pairs) because a label
+    table generates the same connected components as the pair graph it
+    summarized. Returns labels for every id touched by either input;
+    callers keep untouched singletons as-is (see ``incremental_dedup``)."""
+    stars = prior_labels.where(F.col(id_col) != F.col(label_col)).select(
+        F.col(id_col).alias("id_a"), F.col(label_col).alias("id_b")
+    )
+    edges = new_pairs.select("id_a", "id_b").unionByName(stars)
+    return connected_components(edges, "id_a", "id_b", max_iter=max_iter)
+
+
+def incremental_dedup(
+    spark,
+    corpus_table: str,
+    prior_labels: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Full incremental cluster assignment for corpus + delta: every id
+    (prior ids and delta ids) gets a cluster_id — merged across the delta
+    bridge where new pairs connect previously distinct clusters — plus
+    the canonical ``keep`` flag. One pass over the delta text, zero over
+    the corpus text."""
+    pairs = incremental_minhash_pairs(
+        spark, corpus_table, delta, id_col, text_col, n_hashes, bands, shingle_k
+    )
+    cc = incremental_components(pairs, prior_labels, max_iter=max_iter)
+    all_ids = (
+        prior_labels.select(F.col("id"))
+        .unionByName(delta.select(F.col(id_col).alias("id")))
+        .distinct()
+    )
+    # ids untouched by new pairs keep their prior label; brand-new
+    # singletons label themselves
+    prior = prior_labels.select("id", F.col("cluster_id").alias("_prior"))
+    return (
+        all_ids.join(cc, "id", "left")
+        .join(prior, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("cluster_id"), F.col("_prior"), F.col("id")).alias(
+                "cluster_id"
+            ),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )

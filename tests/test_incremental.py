@@ -1,0 +1,164 @@
+"""Incremental dedup: the corpus band checkpoint is read bucketed with no
+re-hashing and no corpus-side shuffle (plan-asserted), and the incremental
+end state EQUALS the from-scratch run."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conflation_spark.datagen_text import ensure_text_fixture
+from conflation_spark.operators.cluster import dedup_clusters
+from conflation_spark.operators.dedup import minhash_lsh_pairs
+from conflation_spark.operators.incremental import (
+    checkpoint_band_table,
+    corpus_self_pairs,
+    incremental_dedup,
+    incremental_minhash_pairs,
+)
+
+TBL = "test_corpus_bands"
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark):
+    d = ensure_text_fixture("sf0.001")
+    td = spark.read.parquet(f"{d}/textdocs.parquet")
+    corpus = td.where(F.col("text_id") < "t000200").cache()
+    delta = td.where(F.col("text_id") >= "t000200").cache()
+    full = td.cache()
+    assert corpus.count() > 0 and delta.count() > 0
+    return corpus, delta, full
+
+
+def _ancestors_shuffle_free(plan: str, scan_marker: str) -> None:
+    """Assert no shuffle (Exchange hashpartitioning) sits between the
+    marked scan line and its nearest enclosing join — i.e. the branch
+    reaches the join with its scan partitioning intact. BroadcastExchange
+    is allowed (Catalyst may legitimately broadcast the small side at
+    test scale; it is not a shuffle of the corpus)."""
+    import re
+
+    lines = plan.splitlines()
+    scan_idx = [i for i, ln in enumerate(lines) if scan_marker in ln]
+    assert scan_idx, plan
+    for i in scan_idx:
+        depth = len(re.match(r"[\s:+\-*]*", lines[i]).group(0))
+        j = i - 1
+        while j >= 0:
+            d2 = len(re.match(r"[\s:+\-*]*", lines[j]).group(0))
+            if d2 < depth:
+                assert "Exchange hashpartitioning" not in lines[j], (lines[j], plan)
+                if "Join" in lines[j]:
+                    break  # reached the join: this branch was shuffle-free
+                depth = d2
+            j -= 1
+
+
+def test_checkpoint_is_bucketed_and_join_shuffles_delta_only(spark, split_corpus):
+    corpus, delta, _ = split_corpus
+    checkpoint_band_table(corpus, TBL, "text_id", "text")
+    # force SMJ so the test exercises the partitioning contract that
+    # matters at real scale (tiny inputs would otherwise broadcast)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = incremental_minhash_pairs(spark, TBL, delta, "text_id", "text")
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # the corpus side is the bucketed file scan — no text read, no hashing
+    assert "Bucketed: true" in plan, plan
+    assert TBL in plan
+    # corpus text is NEVER rescanned: every textdocs scan carries the
+    # delta's pushed filter (the corpus rows come only from the checkpoint)
+    for ln in plan.splitlines():
+        if "textdocs" in ln and "FileScan" in ln:
+            assert "GreaterThanOrEqual(text_id,t000200)" in ln, ln
+    # and the bucketed scan reaches its join without being re-shuffled
+    _ancestors_shuffle_free(plan, "Bucketed: true")
+
+
+def test_corpus_self_pairs_no_exchange(spark, split_corpus):
+    """Both sides of the corpus self-join are the bucketed scan: the join
+    is co-partitioned on band_hash — zero shuffles below the join; the
+    only hash exchange in the whole plan is the final distinct's."""
+    corpus, _, _ = split_corpus
+    checkpoint_band_table(corpus, TBL, "text_id", "text")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = corpus_self_pairs(spark, TBL)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(corpus, "text_id", "text").collect()
+    }
+    assert got == want
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan  # distinct only
+    _ancestors_shuffle_free(plan, "Bucketed: true")
+
+
+def test_incremental_end_state_equals_from_scratch(spark, split_corpus):
+    """The whole point: checkpoint corpus bands, label the corpus, then
+    fold in the delta — the final (cluster_id, keep) assignment must equal
+    dedup_clusters run from scratch on the full corpus, exactly."""
+    corpus, delta, full = split_corpus
+    checkpoint_band_table(corpus, TBL, "text_id", "text")
+    corpus_labels = dedup_clusters(
+        corpus, corpus_self_pairs(spark, TBL), id_col="text_id"
+    ).select(F.col("text_id").alias("id"), "cluster_id")
+
+    inc = incremental_dedup(spark, TBL, corpus_labels, delta, "text_id", "text")
+    scratch = dedup_clusters(
+        full, minhash_lsh_pairs(full, "text_id", "text"), id_col="text_id"
+    )
+    got = {(r["text_id"], r["cluster_id"], r["keep"]) for r in inc.collect()}
+    want = {(r["text_id"], r["cluster_id"], r["keep"]) for r in scratch.collect()}
+    assert got == want
+    assert len(got) == full.count()
+
+
+def test_incremental_components_merges_across_bridge(spark):
+    """Component-level merge semantics: a delta node paired with members
+    of TWO prior clusters merges them to one min-labeled component (the
+    case a naive 'assign delta to nearest cluster' gets wrong)."""
+    from conflation_spark.operators.incremental import incremental_components
+
+    prior = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1"), ("b1", "b1"), ("b2", "b1"), ("z9", "z9")],
+        "id string, cluster_id string",
+    )
+    new_pairs = spark.createDataFrame(
+        [("a2", "d1"), ("b2", "d1")], "id_a string, id_b string"
+    )
+    got = {r["id"]: r["cluster_id"] for r in incremental_components(new_pairs, prior).collect()}
+    # a* and b* merge through d1 to min label a1; untouched z9 not emitted
+    assert got == {"a1": "a1", "a2": "a1", "b1": "a1", "b2": "a1", "d1": "a1"}
+
+
+def test_incremental_merges_clusters_across_the_delta_bridge(spark):
+    """End-to-end: a delta doc that LSH-pairs with docs in TWO distinct
+    corpus clusters must merge them. The texts are chosen so the fixed
+    hash family deterministically collides (c1,d1) and (c2,d1) in at
+    least one band while (c1,c2) share no shingles at all."""
+    base_a = " ".join(f"q{i}l" for i in range(30))
+    base_b = " ".join(f"q{i}r" for i in range(30))
+    corpus = spark.createDataFrame(
+        [("c1", base_a), ("c2", base_b)], "text_id string, text string"
+    )
+    bridge = base_a + " " + base_b
+    delta = spark.createDataFrame([("d1", bridge)], "text_id string, text string")
+    checkpoint_band_table(corpus, TBL + "_bridge", "text_id", "text")
+    labels0 = dedup_clusters(
+        corpus, corpus_self_pairs(spark, TBL + "_bridge"), id_col="text_id"
+    ).select(F.col("text_id").alias("id"), "cluster_id")
+    # sanity: corpus clusters start distinct
+    assert {r["cluster_id"] for r in labels0.collect()} == {"c1", "c2"}
+    inc = incremental_dedup(
+        spark, TBL + "_bridge", labels0, delta, "text_id", "text"
+    )
+    got = {r["text_id"]: r["cluster_id"] for r in inc.collect()}
+    assert got == {"c1": "c1", "c2": "c1", "d1": "c1"}
