@@ -20,13 +20,15 @@ TBL = "test_corpus_bands"
 
 @pytest.fixture(scope="module")
 def split_corpus(spark):
+    # deliberately UNcached: the plan tests assert on the parquet scans,
+    # and a cached InMemoryRelation (here or from another module sharing
+    # the session) would swallow them
     d = ensure_text_fixture("sf0.001")
     td = spark.read.parquet(f"{d}/textdocs.parquet")
-    corpus = td.where(F.col("text_id") < "t000200").cache()
-    delta = td.where(F.col("text_id") >= "t000200").cache()
-    full = td.cache()
+    corpus = td.where(F.col("text_id") < "t000200")
+    delta = td.where(F.col("text_id") >= "t000200")
     assert corpus.count() > 0 and delta.count() > 0
-    return corpus, delta, full
+    return corpus, delta, td
 
 
 def _ancestors_shuffle_free(plan: str, scan_marker: str) -> None:
@@ -55,6 +57,9 @@ def _ancestors_shuffle_free(plan: str, scan_marker: str) -> None:
 
 def test_checkpoint_is_bucketed_and_join_shuffles_delta_only(spark, split_corpus):
     corpus, delta, _ = split_corpus
+    # other modules sharing the session may have cached the textdocs scan;
+    # an InMemoryRelation would hide the pushed filters this test reads
+    spark.catalog.clearCache()
     checkpoint_band_table(corpus, TBL, "text_id", "text")
     # force SMJ so the test exercises the partitioning contract that
     # matters at real scale (tiny inputs would otherwise broadcast)

@@ -142,6 +142,74 @@ def main():
     if not has_tako:
         failures.append("bm25 top-k does not plan as TakeOrdered")
 
+    # 9. incremental dedup: the delta-vs-corpus band join must read the
+    # corpus from the BUCKETED checkpoint (no corpus text rescan) and the
+    # bucketed scan must reach its join with no re-shuffle (broadcast
+    # disabled so the check exercises the SMJ contract that matters at
+    # scale)
+    from pyspark.sql import functions as F
+
+    from conflation_spark.datagen_text import ensure_text_fixture
+    from conflation_spark.operators.incremental import (
+        checkpoint_band_table,
+        incremental_minhash_pairs,
+    )
+
+    tdir = ensure_text_fixture("sf0.001")
+    td = spark.read.parquet(f"{tdir}/textdocs.parquet")
+    checkpoint_band_table(td.where(F.col("text_id") < "t000200"), "audit_corpus_bands", "text_id", "text")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        inc = incremental_minhash_pairs(
+            spark, "audit_corpus_bands", td.where(F.col("text_id") >= "t000200"), "text_id", "text"
+        )
+        p9 = inc._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    bucketed = "Bucketed: true" in p9
+    corpus_rescan = any(
+        "textdocs" in ln and "FileScan" in ln and "t000200" not in ln
+        for ln in p9.splitlines()
+    )
+    shuffle_above_bucketed = False
+    lines = p9.splitlines()
+    for i, ln in enumerate(lines):
+        if "Bucketed: true" not in ln:
+            continue
+        depth = len(re.match(r"[\s:+\-*]*", ln).group(0))
+        j = i - 1
+        while j >= 0:
+            d2 = len(re.match(r"[\s:+\-*]*", lines[j]).group(0))
+            if d2 < depth:
+                if "Exchange hashpartitioning" in lines[j]:
+                    shuffle_above_bucketed = True
+                if "Join" in lines[j]:
+                    break
+                depth = d2
+            j -= 1
+    print(
+        f"[9] incremental dedup: bucketed corpus scan={bucketed}, "
+        f"corpus text rescan={corpus_rescan}, corpus-side shuffle={shuffle_above_bucketed}"
+    )
+    if not bucketed:
+        failures.append("incremental dedup does not read the bucketed checkpoint")
+    if corpus_rescan:
+        failures.append("incremental dedup rescans the corpus text")
+    if shuffle_above_bucketed:
+        failures.append("incremental dedup re-shuffles the bucketed corpus scan")
+
+    # 10. global KMV sketch bottom-k must plan as TakeOrdered (distributed
+    # partial top-k), never a global sort
+    from conflation_spark.operators.sketch import kmv_sketch
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p10 = kmv_sketch(ev, "user_id", k=64)._jdf.queryExecution().executedPlan().toString()
+    has_tako10 = "TakeOrdered" in p10
+    print(f"[10] kmv sketch bottom-k: TakeOrdered={has_tako10}")
+    if not has_tako10:
+        failures.append("kmv global bottom-k does not plan as TakeOrdered")
+
     if failures:
         print("\nFAILURES:")
         for f in failures:
