@@ -355,9 +355,16 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = td.where(F.col("text_id") >= INCR_SPLIT)
     tbl = "oracle_corpus_bands"
     checkpoint_band_table(corpus, tbl, "text_id", "text")
-    exact = ngram_jaccard_pairs(
-        td, "text_id", "text", 3, 0.8, max_doc_freq=NGRAM_MAX_DF
-    ).select("id_a", "id_b")
+    # the exact pair set feeds BOTH semijoins and Catalyst does not CSE
+    # across subtrees — checkpoint it once (tiny: a few hundred pair
+    # rows) instead of paying the shingle self-join twice. The CC calls
+    # below run jobs eagerly, so this materializes inside the query call
+    # and holds no state across calls.
+    exact = (
+        ngram_jaccard_pairs(td, "text_id", "text", 3, 0.8, max_doc_freq=NGRAM_MAX_DF)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     corpus_pairs = exact.join(corpus_self_pairs(spark, tbl), ["id_a", "id_b"], "left_semi")
     labels0 = dedup_clusters(corpus, corpus_pairs, id_col="text_id").select(
         F.col("text_id").alias("id"), "cluster_id"

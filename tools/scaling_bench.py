@@ -72,6 +72,12 @@ def main():
         "repeats": repeats,
         "all_runs_s_at_n": [round(r["queries"]["pipeline_e2e"], 1) for r in runs[n]],
         "all_runs_s_at_4n": [round(r["queries"]["pipeline_e2e"], 1) for r in runs[4 * n]],
+        # bench.py is min-of-3 internally: raw per-JVM triplets, so the
+        # single-host spread stays visible in the record
+        "raw_triplets_at_n": [r.get("pipeline_runs_s") for r in runs[n]],
+        "raw_triplets_at_4n": [r.get("pipeline_runs_s") for r in runs[4 * n]],
+        "stage_min_sum_at_n": lo["queries"].get("stage_min_sum_s"),
+        "stage_min_sum_at_4n": hi["queries"].get("stage_min_sum_s"),
         "pipeline_s_at_n": tl,
         "pipeline_s_at_4n": th,
         "stages_at_n": {k: v for k, v in lo["queries"].items() if k.startswith("stage_")},
