@@ -222,6 +222,28 @@ def _q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate rollup tier: 3-level medians from ONE finest-level
+    histogram (rows shuffle once; country/world merge the tiny bin table
+    — the mergeable-sketch path for 100-TB rollups). Deterministic
+    arithmetic -> exact DuckDB twin; value within one bin width (0.78
+    kph) of the middle order statistic."""
+    from conflation_spark.operators.rollup import rollup_medians_hist
+
+    d = _spatial_dir(sf_dir)
+    meas = spark.read.parquet(f"{d}/measurements.parquet")
+    r = rollup_medians_hist(meas, 0.0, 200.0, 256)
+    return r.select(
+        "level",
+        F.coalesce("country", F.lit("~")).alias("country"),
+        F.coalesce("region", F.lit("~")).alias("region"),
+        "density",
+        "road_class",
+        "type",
+        F.round(F.col("median_kph") * 100).cast("long").alias("median_kph_c"),
+    )
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -884,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_doc_stats": _q_tf_doc_stats,
         "tf_accepted_docs": _q_tf_accepted,
         "rollup_medians": _q_rollup,
+        "rollup_medians_hist": _q_rollup_hist,
         "measurements_derived": _q_measurements_derived,
         "rollup_hourly": _q_rollup_hourly,
         "tile_cells": _q_tile_cells,
@@ -961,6 +984,31 @@ FROM inter
 JOIN sz sa ON sa.text_id = ia
 JOIN sz sb ON sb.text_id = ib
 WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.8
+"""
+
+
+def _duck_hist_level(lvl: str, src: str, part: str) -> str:
+    """CTE chain for one rollup level of the histogram-quantile oracle:
+    cumulative counts -> first bin reaching 0.5*total -> in-bin linear
+    interpolation, numerically identical to sketch.histogram_quantile."""
+    width = "CAST(0.78125 AS DOUBLE)"  # (200-0)/256, exact in binary
+    return f"""
+{lvl}_c AS (
+  SELECT {part}, bin, n,
+         sum(n) OVER (PARTITION BY {part} ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY {part}) AS tot
+  FROM {src}
+),
+{lvl}_h AS (
+  SELECT *, row_number() OVER (PARTITION BY {part} ORDER BY bin) AS rn
+  FROM {lvl}_c
+  WHERE CAST(cum AS DOUBLE) >= CAST(0.5 AS DOUBLE) * CAST(tot AS DOUBLE)
+),
+{lvl}_q AS (
+  SELECT {part},
+         CAST(0 AS DOUBLE) + (CAST(bin AS DOUBLE) + (CAST(0.5 AS DOUBLE)*CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE))/CAST(n AS DOUBLE)) * {width} AS median_kph
+  FROM {lvl}_h WHERE rn = 1
+),
 """
 
 
@@ -1529,6 +1577,35 @@ lvl AS (
 )
 SELECT level, country, region, density, road_class, type,
        CAST(round(med * 100) AS BIGINT) AS median_kph_c
+FROM lvl
+""",
+        # histogram-sketch rollup tier: the oracle mirrors the Spark
+        # arithmetic (bin grid, cumulative hit, in-bin interpolation)
+        # exactly — every numeric literal CAST to DOUBLE (DuckDB parses
+        # bare decimals as DECIMAL, whose arithmetic diverges from Spark)
+        "rollup_medians_hist": f"""
+WITH h AS (
+  SELECT country, region, density, road_class, type,
+         CAST(least(greatest(floor((kph - CAST(0 AS DOUBLE))/CAST(200 AS DOUBLE)*CAST(256 AS DOUBLE)), 0), 255) AS BIGINT) AS bin,
+         count(*) AS n
+  FROM read_parquet('{d}/measurements.parquet')
+  WHERE kph IS NOT NULL
+  GROUP BY 1,2,3,4,5,6
+),
+{"".join(_duck_hist_level(lvl, src, part) for lvl, src, part in (
+    ("region", "h WHERE region <> ''", "country, region, density, road_class, type"),
+    ("country", "(SELECT country, density, road_class, type, bin, sum(n) AS n FROM h GROUP BY 1,2,3,4,5) AS s", "country, density, road_class, type"),
+    ("world", "(SELECT density, road_class, type, bin, sum(n) AS n FROM h GROUP BY 1,2,3,4) AS s", "density, road_class, type"),
+))}
+lvl AS (
+  SELECT 'region' AS level, country, region, density, road_class, type, median_kph FROM region_q
+  UNION ALL
+  SELECT 'country', country, '~', density, road_class, type, median_kph FROM country_q
+  UNION ALL
+  SELECT 'world', '~', '~', density, road_class, type, median_kph FROM world_q
+)
+SELECT level, country, region, density, road_class, type,
+       CAST(round(median_kph * 100) AS BIGINT) AS median_kph_c
 FROM lvl
 """,
         "tpch_q3_top10": """

@@ -57,3 +57,76 @@ def rollup_medians(measurements: DataFrame, extra_keys: list[str] | None = None)
     )
     # drop the empty-region region-level groups (they only feed country/world)
     return out.where(~((F.col("level") == "region") & (F.col("region") == "")))
+
+
+def rollup_medians_hist(
+    measurements: DataFrame,
+    lo: float = 0.0,
+    hi: float = 200.0,
+    n_bins: int = 256,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Approximate (histogram-sketch) tier of the 3-level rollup — the
+    100-TB path; ``rollup_medians`` stays the exact reference-parity path.
+
+    Why it scales better than the exact form: the grouping-sets exact
+    rollup REPLICATES every measurement row once per level through the
+    shuffle (3x shuffle volume) and its percentile buffers hold the full
+    per-group value multiset. Here each row shuffles ONCE, to its finest
+    (country, region, ...) group, collapsing immediately to at most
+    ``n_bins`` counting rows per group (the mergeable fixed-grid sketch,
+    `operators/sketch.py`); the country and world levels then re-aggregate
+    that tiny histogram table bin-wise — two extra jobs over data orders
+    of magnitude smaller than the measurements. Determinism is exact
+    (counts + fixed grid); the VALUE is approximate with a precise bound:
+    the estimate lies within one bin width ((hi-lo)/n_bins; default
+    200/256 = 0.78 kph) of the rank-ceil(n/2) ORDER STATISTIC of the
+    group. The exact interpolated median sits between the two middle
+    order statistics, so for the large-n groups this tier exists for the
+    two definitions coincide; a tiny sparse group whose middle values
+    fall in different bins can differ by their gap — a property of the
+    interpolation definition, not of the sketch (tested with the
+    order-statistic bound). Values outside [lo, hi) clamp to the edge
+    bins.
+
+    Reference semantics otherwise preserved: empty-region rows feed the
+    country/world histograms but emit no region-level group
+    (aggregation.py:112-121 asymmetry), same output shape as
+    ``rollup_medians`` with ``median_kph`` carrying the estimate.
+    """
+    from conflation_spark.operators.sketch import histogram_quantile
+
+    extra = list(extra_keys or [])
+    base = ["density", "road_class", "type", *extra]
+    x = F.col("kph").cast("double")
+    raw = F.floor((x - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(n_bins)))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("long")
+    fin = (
+        measurements.where(x.isNotNull())
+        .groupBy("country", "region", *base, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()  # reused by all three levels within the one output plan
+    )
+    region = histogram_quantile(
+        fin.where(F.col("region") != ""), 0.5, lo, hi, n_bins,
+        group_cols=["country", "region", *base],
+    ).select(
+        F.lit(LEVEL_REGION).alias("level"), "country", "region", *base,
+        F.col("q_value").alias("median_kph"),
+    )
+    cn = fin.groupBy("country", *base, "bin").agg(F.sum("n").alias("n"))
+    country = histogram_quantile(
+        cn, 0.5, lo, hi, n_bins, group_cols=["country", *base]
+    ).select(
+        F.lit(LEVEL_COUNTRY).alias("level"), "country",
+        F.lit(None).cast("string").alias("region"), *base,
+        F.col("q_value").alias("median_kph"),
+    )
+    wd = fin.groupBy(*base, "bin").agg(F.sum("n").alias("n"))
+    world = histogram_quantile(wd, 0.5, lo, hi, n_bins, group_cols=base).select(
+        F.lit(LEVEL_WORLD).alias("level"),
+        F.lit(None).cast("string").alias("country"),
+        F.lit(None).cast("string").alias("region"), *base,
+        F.col("q_value").alias("median_kph"),
+    )
+    return region.unionByName(country).unionByName(world)
