@@ -287,6 +287,77 @@ def streaming_exact_dedup(
     return out.drop("_md5")
 
 
+def streaming_kmv_distinct(
+    spark,
+    input_dir: str,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    k: int = 64,
+    max_files_per_trigger: int = 1,
+):
+    """Running distinct-count KMV sketch per group over an unbounded
+    stream (the streaming twin of ``operators.sketch.kmv_sketch``).
+
+    State per group = the bottom-k DISTINCT 52-bit hashes — bounded at k
+    longs regardless of stream length, and the same mergeable summary the
+    batch operator produces, so the stream's final estimate EQUALS the
+    batch sketch over the same rows (parity-tested; the estimator
+    replicates ``sketch._estimate`` bit-for-bit in Python doubles). The
+    hash is computed JVM-side (same md5-prefix column) before the
+    stateful kernel; the kernel only folds longs into a sorted set.
+
+    Each microbatch emits (group, n_retained, est_distinct) for groups it
+    touched; n_retained and est_distinct are monotone nondecreasing, so
+    the per-group row with the max (n_retained, est_distinct) is the
+    current global answer at any point in the stream.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from conflation_spark.operators.sketch import KMV_HASH_SPACE, kmv_hash
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        hs = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            hs.update(int(h) for h in pdf["_h"])
+        bottom = sorted(hs)[:k]
+        state.update((bottom,))
+        if len(bottom) < k:
+            est = len(bottom)
+        else:
+            est = int(math.floor((k - 1.0) * KMV_HASH_SPACE / (bottom[-1] + 1.0) + 0.5))
+        yield pd.DataFrame(
+            {
+                "group_key": [key[0]],
+                "n_retained": [len(bottom)],
+                "est_distinct": [est],
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    hashed = stream.select(
+        F.col(group_col).alias("group_key"), kmv_hash(F.col(key_col)).alias("_h")
+    )
+    return hashed.groupBy("group_key").applyInPandasWithState(
+        update,
+        outputStructType="group_key string, n_retained long, est_distinct long",
+        stateStructType="sketch array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_user_totals(spark, input_dir: str, max_files_per_trigger: int = 1):
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     running event totals that persist across microbatches.

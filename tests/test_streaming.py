@@ -290,3 +290,45 @@ def test_stream_stream_interval_join_available_now(spark, tmp_path):
         ).collect()
     }
     assert got and got == want
+
+
+def test_streaming_kmv_equals_batch_sketch(spark, tmp_path):
+    """Bounded-state streaming distinct count: the bottom-k hash state
+    survives microbatches (forced by maxFilesPerTrigger=1) and the final
+    per-group estimate equals the batch kmv_sketch over the same rows —
+    identical sketch, identical estimator arithmetic."""
+    from conflation_spark.operators.sketch import kmv_sketch
+    from conflation_spark.streaming.ingest import streaming_kmv_distinct
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev_kmv")
+    events.repartition(4).write.parquet(src)
+
+    out = streaming_kmv_distinct(spark, src, k=8)  # small k -> estimator branch
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from kmv_stream").collect()
+    assert rows
+    finals: dict = {}
+    per_group_rows: dict = {}
+    for r in rows:
+        per_group_rows.setdefault(r["group_key"], []).append(r)
+        cur = finals.get(r["group_key"], (0, 0))
+        cand = (r["n_retained"], r["est_distinct"])
+        if cand > cur:
+            finals[r["group_key"]] = cand
+    # multiple microbatches actually exercised the state
+    assert any(len(v) > 1 for v in per_group_rows.values())
+    want = {
+        r["event_type"]: (r["n_retained"], r["est_distinct"])
+        for r in kmv_sketch(events, "user_id", k=8, group_cols=["event_type"]).collect()
+    }
+    assert finals == want
+    # the estimator branch (not the exact under-full branch) was hit
+    assert any(n == 8 for n, _ in finals.values())
