@@ -530,6 +530,22 @@ def _q_tile_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) keys for every decoded point at z16 — the
+    spatial write-clustering key (tiling.zorder_of: codegen shift/mask
+    ladder; DuckDB twin runs the identical ladder on BIGINT)."""
+    from conflation_spark.operators.tiling import zorder_of
+    from conflation_spark.sources.spans import decode_points, load_documents
+
+    d = _spatial_dir(sf_dir)
+    pts = decode_points(load_documents(spark, d))
+    return pts.select(
+        "doc_id",
+        F.col("offset").cast("long").alias("offset"),
+        zorder_of(F.col("lon"), F.col("lat"), 16).alias("z"),
+    )
+
+
 def _q_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.scan_filters import recency_filter
     from conflation_spark.sources.spans import decode_points, load_documents
@@ -910,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measurements_derived": _q_measurements_derived,
         "rollup_hourly": _q_rollup_hourly,
         "tile_cells": _q_tile_cells,
+        "zorder_cells": _q_zorder,
         "rasterize_density": _q_rasterize,
         "point_in_polygon": _q_point_in_polygon,
         "raster_runs": _q_raster_runs,
@@ -1457,6 +1474,40 @@ SELECT doc_id, "offset",
        CAST(floor((lon_c + 180.0) / 360.0 * 65536.0) AS BIGINT) AS tx,
        CAST(floor((1.0 - ln(tan(lat_r) + sqrt(tan(lat_r)*tan(lat_r) + 1.0)) / pi()) / 2.0 * 65536.0) AS BIGINT) AS ty
 FROM c
+""",
+        # z-order key: the same magic-mask interleave ladder, BIGINT ops
+        "zorder_cells": f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s
+  FROM read_parquet('{d}/documents.parquet')
+),
+pts AS (
+  SELECT doc_id, CAST(s.offset AS BIGINT) AS "offset",
+         CAST(json_extract(s.text, '$.lon') AS DOUBLE) AS lon,
+         CAST(json_extract(s.text, '$.lat') AS DOUBLE) AS lat
+  FROM sp WHERE s.kind = 'gps'
+),
+c AS (
+  SELECT doc_id, "offset",
+         least(greatest(lon, -179.9999), 179.9999) AS lon_c,
+         radians(least(greatest(lat, -85.0511), 85.0511)) AS lat_r
+  FROM pts
+),
+t AS (
+  SELECT doc_id, "offset",
+         CAST(floor((lon_c + 180.0) / 360.0 * 65536.0) AS BIGINT) AS tx,
+         CAST(floor((1.0 - ln(tan(lat_r) + sqrt(tan(lat_r)*tan(lat_r) + 1.0)) / pi()) / 2.0 * 65536.0) AS BIGINT) AS ty
+  FROM c
+),
+s1 AS (SELECT doc_id, "offset",
+        (tx | (tx << 8)) & 16711935 AS x, (ty | (ty << 8)) & 16711935 AS y FROM t),
+s2 AS (SELECT doc_id, "offset",
+        (x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y FROM s1),
+s3 AS (SELECT doc_id, "offset",
+        (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y FROM s2),
+s4 AS (SELECT doc_id, "offset",
+        (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y FROM s3)
+SELECT doc_id, "offset", CAST(x | (y << 1) AS BIGINT) AS z FROM s4
 """,
         "span_decode_count": f"""
 WITH sp AS (

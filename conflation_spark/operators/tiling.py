@@ -243,6 +243,67 @@ def raster_to_runs(raster: DataFrame, zoom: int = DEFAULT_ZOOM) -> DataFrame:
     )
 
 
+def _spread_bits16(v: Column) -> Column:
+    """Spread a 16-bit value's bits to the even positions of a 32-bit word
+    (the classic Morton magic-mask ladder) — pure shift/mask column ops,
+    whole-stage-codegen'd, identical operator set in DuckDB (`<<`, `|`,
+    `&` on BIGINT), so the z key is oracle-comparable."""
+    v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x33333333))
+    return v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x55555555))
+
+
+def zorder_key(x: Column, y: Column, zoom: int) -> Column:
+    """Z-order (Morton) interleave of tile coordinates: bit i of x lands at
+    position 2i, bit i of y at 2i+1. Nearby tiles get nearby keys, so
+    sorting the WRITE by z clusters spatial neighbors into the same
+    parquet row groups — their lon/lat min/max statistics become tight and
+    a bbox scan prunes most row groups without reading them (measured in
+    tests/test_tiling.py). This is the data-layout half of the 100-TB
+    geospatial story; the query-side half (predicate pushdown to the
+    scan) is audited separately. Supports zoom <= 16 (z fits in 32 bits)."""
+    if zoom > 16:
+        raise ValueError(f"zorder_key supports zoom <= 16, got {zoom}")
+    return _spread_bits16(x).bitwiseOR(
+        F.shiftleft(_spread_bits16(y), 1)
+    ).cast("long")
+
+
+def zorder_of(lon: Column, lat: Column, zoom: int = DEFAULT_ZOOM) -> Column:
+    return zorder_key(tile_x(lon, zoom), tile_y(lat, zoom), zoom)
+
+
+def zorder_decode(z: Column) -> tuple[Column, Column]:
+    """Inverse interleave: z -> (tile_x, tile_y). The mask ladder run
+    backwards; used by the round-trip test."""
+
+    def compact(v: Column) -> Column:
+        v = v.bitwiseAND(F.lit(0x55555555))
+        v = v.bitwiseOR(F.shiftright(v, 1)).bitwiseAND(F.lit(0x33333333))
+        v = v.bitwiseOR(F.shiftright(v, 2)).bitwiseAND(F.lit(0x0F0F0F0F))
+        v = v.bitwiseOR(F.shiftright(v, 4)).bitwiseAND(F.lit(0x00FF00FF))
+        return v.bitwiseOR(F.shiftright(v, 8)).bitwiseAND(F.lit(0x0000FFFF))
+
+    return compact(z), compact(F.shiftright(z, 1))
+
+
+def zorder_clustered(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    zoom: int = DEFAULT_ZOOM,
+    z_col: str = "z",
+) -> DataFrame:
+    """Arrange rows for a spatially-clustered write: range-repartition on
+    the z key (files cover disjoint z ranges -> file-level skipping) and
+    sort within partitions (row-group-level skipping). Callers write the
+    result with a modest parquet row-group size; drop ``z_col`` afterwards
+    if the key itself isn't wanted."""
+    out = df.withColumn(z_col, zorder_of(F.col(lon_col), F.col(lat_col), zoom))
+    return out.repartitionByRange(z_col).sortWithinPartitions(z_col)
+
+
 def cell_parent(cell: Column, zoom: int, parent_zoom: int) -> Column:
     """Hierarchical cell rollup (H3-style parent): the packed cell id of the
     ancestor tile at a coarser zoom. Pure bit/offset arithmetic — lets
