@@ -52,12 +52,21 @@ def checkpoint_band_table(
     shingle_k: int = 3,
     n_buckets: int = BAND_BUCKETS,
     mode: str = "overwrite",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Compute the corpus band table and persist it bucketed+sorted on
     ``band_hash`` (catalog table under the warehouse dir). Returns the
     re-registered table — reading it back costs a bucketed file scan,
     zero hashing, zero shuffle. ``mode='append'`` grows the corpus
-    checkpoint with a new batch's bands after that batch is folded in."""
+    checkpoint with a new batch's bands after that batch is folded in.
+
+    ``max_bucket_size`` drops band buckets hotter than the cap BEFORE
+    persisting (the ``minhash_lsh_pairs`` boilerplate guard applied at
+    checkpoint time): every later delta join against this checkpoint is
+    then bounded at cap x |delta bucket| candidate rows per bucket. Use
+    ``dedup.lsh_hot_buckets`` on the same corpus to audit what the cap
+    removed; note the cap is per-WRITE — with ``mode='append'`` a bucket
+    can exceed the cap across appends (re-checkpoint periodically)."""
     spark = df.sparkSession
     if mode == "overwrite":
         # an in-memory catalog (fresh session) can leave a STALE warehouse
@@ -73,6 +82,15 @@ def checkpoint_band_table(
         if fs.exists(loc):
             fs.delete(loc, True)
     banded = _minhash_banded(df, id_col, text_col, n_hashes, bands, shingle_k)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     (
         banded.write.format("parquet")
         .mode(mode)
@@ -110,14 +128,33 @@ def incremental_minhash_pairs(
     n_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """New candidate pairs introduced by the delta: delta x delta plus
     delta x corpus. Only the delta is shingled/hashed; the corpus side is
     the bucketed checkpoint scan (shuffle lands on the delta branch).
     Band parameters MUST match the ones the checkpoint was built with —
     band hashes are only comparable within one (n_hashes, bands,
-    shingle_k, seed) family."""
+    shingle_k, seed) family.
+
+    ``max_bucket_size`` caps the DELTA side's band buckets (drop before
+    both joins), pairing with the checkpoint-time cap on the corpus side
+    (``checkpoint_band_table(max_bucket_size=...)``): a surviving bucket
+    contributes at most cap_delta x cap_corpus cross pairs and
+    cap_delta^2/2 delta pairs. This is a per-side guard, NOT the exact
+    whole-corpus bucket size the batch ``minhash_lsh_pairs`` cap sees —
+    an incremental run cannot know future totals; re-checkpoint to
+    re-apply the global cap."""
     d = _minhash_banded(delta, id_col, text_col, n_hashes, bands, shingle_k)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band_idx", "band_hash")
+        d = (
+            d.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     corpus = spark.table(corpus_table)
     dd_a, dd_b = d.alias("a"), d.alias("b")
     delta_delta = dd_a.join(

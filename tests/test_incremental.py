@@ -167,3 +167,33 @@ def test_incremental_merges_clusters_across_the_delta_bridge(spark):
     )
     got = {r["text_id"]: r["cluster_id"] for r in inc.collect()}
     assert got == {"c1": "c1", "c2": "c1", "d1": "c1"}
+
+
+def test_hot_bucket_caps_bound_the_incremental_join(spark):
+    """Boilerplate guard: a hot band bucket (many docs sharing identical
+    boilerplate) is dropped on BOTH sides — at checkpoint time for the
+    corpus, at join time for the delta — so the candidate join stays
+    bounded; distinct content still pairs normally."""
+    boiler = " ".join(f"b{i}" for i in range(30))
+    corpus_rows = [(f"c{i:03d}", boiler) for i in range(20)]
+    corpus_rows.append(("cxx", " ".join(f"u{i}x" for i in range(30))))
+    delta_rows = [(f"d{i:03d}", boiler) for i in range(20)]
+    delta_rows.append(("dxx", " ".join(f"u{i}x" for i in range(30))))
+    corpus = spark.createDataFrame(corpus_rows, "text_id string, text string")
+    delta = spark.createDataFrame(delta_rows, "text_id string, text string")
+
+    # uncapped: the boilerplate cluster cross-joins (20x20 + pairs)
+    checkpoint_band_table(corpus, TBL + "_hot", "text_id", "text")
+    uncapped = incremental_minhash_pairs(spark, TBL + "_hot", delta, "text_id", "text")
+    assert uncapped.count() > 400
+
+    # capped at 5: boilerplate buckets (size 20) drop on both sides;
+    # only the distinct-content pair (cxx, dxx) survives
+    checkpoint_band_table(
+        corpus, TBL + "_hotc", "text_id", "text", max_bucket_size=5
+    )
+    capped = incremental_minhash_pairs(
+        spark, TBL + "_hotc", delta, "text_id", "text", max_bucket_size=5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {("cxx", "dxx")}
