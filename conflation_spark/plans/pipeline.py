@@ -199,6 +199,59 @@ def read_stage(spark: SparkSession, work_dir: str, stage: str) -> DataFrame:
     return spark.read.table(tbl)
 
 
+# what to profile per checkpoint when run_pipeline(profile=True):
+# KMV distinct estimates for the key columns a capacity planner asks about
+# and histogram quantiles for the value column the output consumers read.
+# All sketch-based (operators/sketch.py): one extra scan per stage, state
+# bounded at k hashes / n_bins counters — viable at any checkpoint size.
+PROFILE_SPECS = {
+    "points": {"distinct": ["doc_id"], "quantiles": []},
+    "filtered_points": {"distinct": ["doc_id"], "quantiles": []},
+    "traversals": {"distinct": ["doc_id", "edge_id"], "quantiles": []},
+    "measurements": {
+        "distinct": [],
+        "quantiles": [("kph", 0.0, 200.0, 256, [0.5, 0.95])],
+    },
+}
+PROFILE_KMV_K = 256
+
+
+def profile_stage(spark: SparkSession, work_dir: str, stage: str) -> dict:
+    """Sketch-profile a finished checkpoint and fold the result into its
+    lineage manifest (atomic rewrite, like the original commit). Returns
+    the profile dict: ``distinct_<col>_est`` (KMV, ~6% rel. error at
+    k=256) and ``<col>_p<q>`` histogram quantiles. Lineage thus carries
+    not just row counts but the data-shape numbers the NEXT stage's
+    capacity planning needs — without an exact (full-shuffle) pass."""
+    from conflation_spark.operators.sketch import (
+        histogram_quantile,
+        kmv_sketch,
+        quantile_histogram,
+    )
+
+    spec = PROFILE_SPECS.get(stage)
+    if not spec:
+        return {}
+    df = read_stage(spark, work_dir, stage)
+    prof: dict = {}
+    for col in spec["distinct"]:
+        row = kmv_sketch(df, col, k=PROFILE_KMV_K).collect()[0]
+        prof[f"distinct_{col}_est"] = int(row["est_distinct"])
+    for col, lo, hi, nb, qs in spec["quantiles"]:
+        h = quantile_histogram(df, col, lo, hi, nb)
+        h = h.localCheckpoint(eager=True)  # reused per quantile
+        for q in qs:
+            v = histogram_quantile(h, q, lo, hi, nb).collect()[0]["q_value"]
+            prof[f"{col}_p{int(q * 100)}"] = round(float(v), 2)
+    man = read_lineage(work_dir, stage)
+    man["profile"] = prof
+    tmp = _lineage_path(work_dir, stage) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.rename(tmp, _lineage_path(work_dir, stage))
+    return prof
+
+
 def run_pipeline(
     spark: SparkSession,
     input_dir: str,
@@ -207,6 +260,7 @@ def run_pipeline(
     resume: bool = True,
     stop_after: str | None = None,
     checkpoint_points: bool = False,
+    profile: bool = False,
 ) -> dict:
     """Run (or resume) the full pipeline. Returns stage row counts.
 
@@ -235,6 +289,8 @@ def run_pipeline(
         df = build()
         _write_stage(df, work_dir, name, inputs, params, **write_kw)
         counts[name] = read_lineage(work_dir, name)["rows"]
+        if profile:
+            profile_stage(spark, work_dir, name)
         return read_stage(spark, work_dir, name)
 
     docs = load_documents(spark, input_dir)

@@ -189,3 +189,41 @@ def test_skew_warning_on_hot_key(spark, tmp_path):
         warnings.simplefilter("always")
         _write_stage(cool, work, "coolstage", [], {}, bucket_by=["doc_id"], n_buckets=16)
     assert not any("skewed partitions" in str(w.message) for w in caught)
+
+
+def test_profile_in_lineage_manifests(spark, fixture_dir, tmp_path):
+    """run_pipeline(profile=True) folds sketch profiles into the stage
+    manifests: KMV distinct estimates near the exact distinct counts and
+    kph histogram quantiles near the exact percentiles — checkpoint
+    metadata a capacity planner reads without re-scanning the data."""
+    from pyspark.sql import functions as F
+
+    from conflation_spark.plans.pipeline import read_lineage, run_pipeline
+
+    work = str(tmp_path / "prof_work")
+    run_pipeline(spark, fixture_dir, work, resume=False, profile=True)
+
+    fp = read_lineage(work, "filtered_points")
+    assert "profile" in fp
+    est = fp["profile"]["distinct_doc_id_est"]
+    truth = (
+        spark.read.parquet(f"{work}/checkpoints/filtered_points")
+        .select("doc_id").distinct().count()
+    )
+    assert abs(est - truth) / truth < 0.2  # KMV k=256 -> ~6% typical
+
+    tv = read_lineage(work, "traversals")["profile"]
+    assert tv["distinct_doc_id_est"] > 0 and tv["distinct_edge_id_est"] > 0
+
+    mp = read_lineage(work, "measurements")["profile"]
+    meas = spark.read.parquet(f"{work}/checkpoints/measurements")
+    p50 = meas.agg(F.percentile("kph", F.lit(0.5))).collect()[0][0]
+    p95 = meas.agg(F.percentile("kph", F.lit(0.95))).collect()[0][0]
+    assert abs(mp["kph_p50"] - p50) <= 1.0
+    assert abs(mp["kph_p95"] - p95) <= 1.0
+    assert mp["kph_p50"] < mp["kph_p95"]
+
+    # default stays profile-free (no extra scans on the bench path)
+    work2 = str(tmp_path / "noprof_work")
+    run_pipeline(spark, fixture_dir, work2, resume=False)
+    assert "profile" not in read_lineage(work2, "filtered_points")
