@@ -287,6 +287,156 @@ def streaming_exact_dedup(
     return out.drop("_md5")
 
 
+def stateless_minhash_bands(
+    df: DataFrame,
+    id_col: str = "text_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-row (stateless) banded minhash — the streaming-safe twin of
+    ``dedup._minhash_banded``: identical hash family (same a/b constants,
+    same xxhash64 base, same band packing), so its band hashes are
+    comparable with the batch operator's and with band checkpoints.
+
+    The batch form explodes shingles and aggregates (a shuffle a stream
+    can't do per-doc); here the signature is an array expression over the
+    row's own shingles. Cost note (CLAUDE.md rule 2): the n_hashes min
+    expressions each reference the base-hash array, so an exchange
+    barrier sits BETWEEN the base-hash projection and the min consumers
+    (``repartition(id)``) — the shingle hashing runs once per row and
+    crosses the shuffle as data instead of re-running n_hashes times.
+    Output: (id, band_idx, band_hash), one row per (doc, band)."""
+    import numpy as np
+
+    from conflation_spark.operators.dedup import MERSENNE, word_shingles
+
+    rng = np.random.default_rng(42)  # the batch family's seed
+    a = rng.integers(1, MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, MERSENNE, size=n_hashes, dtype=np.int64)
+    hs = F.transform(
+        word_shingles(F.col(text_col), shingle_k),
+        lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE)),
+    )
+    base = df.select(F.col(id_col).alias("id"), hs.alias("_hs")).repartition("id")
+
+    # closure-bind the constants: a 2-param transform lambda would receive
+    # the ELEMENT INDEX as its second argument (same trap as CLAUDE.md
+    # rule 6 for applyInPandas kernels)
+    def _mh(ai: int, bi: int):
+        return F.array_min(
+            F.transform(
+                F.col("_hs"),
+                lambda h: F.pmod(
+                    F.pmod(F.lit(ai) * h, F.lit(MERSENNE)) + F.lit(bi),
+                    F.lit(MERSENNE),
+                ),
+            )
+        )
+
+    mh = [_mh(int(a[i]), int(b[i])).alias(f"mh{i}") for i in range(n_hashes)]
+    sig = base.select("id", *mh)
+    rows_per_band = n_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"mh{bi * rows_per_band + j}") for j in range(rows_per_band)],
+                )
+            ).alias("band_hash"),
+        )
+        for bi in range(bands)
+    ]
+    return sig.select("id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
+    )
+
+
+def streaming_minhash_pairs(
+    spark,
+    input_dir: str,
+    id_col: str = "text_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket_size: int = 200,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """STREAMING near-dup candidate detection: as documents arrive, each
+    is banded (stateless minhash, same family as batch) and checked
+    against every band bucket it lands in; the bucket's membership is
+    `applyInPandasWithState` state, so a near-duplicate arriving HOURS
+    after the original still pairs with it.
+
+    Emits (id_a, id_b, band_idx) candidate rows — the same pair can
+    surface from several bands (batch runs a `distinct`); streaming
+    callers dedup downstream (`dropDuplicates` on the sink table, or
+    accept at-least-once pair delivery). When no bucket saturates, the
+    deduped pair set EQUALS the batch ``minhash_lsh_pairs`` over the same
+    docs (parity-tested across forced microbatches).
+
+    Cap semantics differ from batch BY NECESSITY: batch drops a hot
+    bucket retroactively (it sees the final size); a stream cannot
+    retract emitted pairs, so a bucket stops emitting once it holds
+    ``max_bucket_size`` ids (state stays bounded; the saturation flag is
+    kept so late arrivals stay suppressed). State per bucket is at most
+    cap ids + a bool."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = f"{id_col} string, {text_col} string"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, sat = list(state.get[0]), bool(state.get[1])
+        else:
+            ids, sat = [], False
+        known = set(ids)
+        out_a: list[str] = []
+        out_b: list[str] = []
+        for pdf in pdfs:
+            for nid in pdf["id"]:
+                nid = str(nid)
+                if nid in known:
+                    continue  # same doc re-delivered: no self-pairs
+                if sat or len(ids) >= max_bucket_size:
+                    sat = True
+                    continue
+                for e in ids:
+                    out_a.append(min(e, nid))
+                    out_b.append(max(e, nid))
+                ids.append(nid)
+                known.add(nid)
+        state.update((ids, sat))
+        yield pd.DataFrame(
+            {
+                "id_a": out_a,
+                "id_b": out_b,
+                "band_idx": [int(key[0])] * len(out_a),
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    banded = stateless_minhash_bands(
+        stream, id_col, text_col, n_hashes, bands, shingle_k
+    )
+    return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        update,
+        outputStructType="id_a string, id_b string, band_idx int",
+        stateStructType="ids array<string>, saturated boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_kmv_distinct(
     spark,
     input_dir: str,

@@ -332,3 +332,70 @@ def test_streaming_kmv_equals_batch_sketch(spark, tmp_path):
     assert finals == want
     # the estimator branch (not the exact under-full branch) was hit
     assert any(n == 8 for n, _ in finals.values())
+
+
+def test_stateless_bands_equal_batch_bands(spark):
+    """The per-row (streaming-safe) minhash banding must produce the
+    IDENTICAL (id, band_idx, band_hash) rows as the batch explode+agg
+    form — same hash family, same packing."""
+    from conflation_spark.datagen_text import ensure_text_fixture
+    from conflation_spark.operators.dedup import _minhash_banded
+    from conflation_spark.streaming.ingest import stateless_minhash_bands
+
+    td = spark.read.parquet(f"{ensure_text_fixture('sf0.001')}/textdocs.parquet")
+    got = {
+        (r["id"], r["band_idx"], r["band_hash"])
+        for r in stateless_minhash_bands(td, "text_id", "text").collect()
+    }
+    want = {
+        (r["id"], r["band_idx"], r["band_hash"])
+        for r in _minhash_banded(td, "text_id", "text", 64, 16, 3).collect()
+    }
+    assert got == want and got
+
+
+def test_streaming_minhash_pairs_equals_batch(spark, tmp_path):
+    """Streaming near-dup detection: bucket membership persists across
+    microbatches (a near-dup arriving in a LATER file still pairs with
+    the original) and the deduped pair set equals batch
+    minhash_lsh_pairs when no bucket saturates."""
+    from pyspark.sql import functions as FF
+
+    from conflation_spark.datagen_text import ensure_text_fixture
+    from conflation_spark.operators.dedup import minhash_lsh_pairs
+    from conflation_spark.streaming.ingest import streaming_minhash_pairs
+
+    td = (
+        spark.read.parquet(f"{ensure_text_fixture('sf0.001')}/textdocs.parquet")
+        .where(FF.col("text_id") < "t000120")
+        .select("text_id", "text")
+    )
+    src = str(tmp_path / "mh_stream")
+    import os as _os
+
+    _os.makedirs(src)
+    # split so known near-dup sources and their dups land in separate
+    # files -> separate microbatches (ids are roughly chronological and
+    # dups reference earlier docs)
+    td.where(FF.col("text_id") < "t000060").coalesce(1).write.parquet(f"{src}/f1")
+    td.where(FF.col("text_id") >= "t000060").coalesce(1).write.parquet(f"{src}/f2")
+
+    out = streaming_minhash_pairs(spark, f"{src}/*", max_files_per_trigger=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mh_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.sql("select * from mh_pairs").collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(td, "text_id", "text").collect()
+    }
+    assert got == want and got
+    # cross-microbatch pairing actually happened: some pair spans the file
+    # split (earlier id < t000060 <= later id)
+    assert any(a < "t000060" <= b for a, b in got)
