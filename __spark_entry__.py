@@ -485,6 +485,39 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_ref", "width", "height", *q)
 
 
+CHUNK_WINDOW, CHUNK_OVERLAP = 32, 8
+PACK_TARGET = 512
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/packing.py) — JVM
+    array ops, no shuffle; DuckDB mirrors with list_slice (inclusive-end
+    indexing, hence begin..begin+window-1)."""
+    from conflation_spark.operators.packing import chunk_documents
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    out = chunk_documents(td, "text_id", "text", CHUNK_WINDOW, CHUNK_OVERLAP)
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_idx", "chunk_text", "chunk_tokens"
+    )
+
+
+def _q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic offset packing into 512-token training sequences
+    (operators/packing.py two-phase prefix sum); the oracle runs the
+    equivalent single global cumsum — fine at oracle scale, the
+    single-task trap the Spark side exists to avoid."""
+    from conflation_spark.operators.packing import pack_sequences
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    counts = td.select("text_id", F.size(toks).cast("long").alias("n_tokens"))
+    out = pack_sequences(counts, PACK_TARGET, "text_id", "n_tokens")
+    return out.select(
+        F.col("text_id").alias("doc_id"), "n_tokens", "bin", "bin_offset", "straddle"
+    )
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.text import with_quality
 
@@ -945,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "image_features": _q_image_features,
         "text_stats": _q_text_stats,
+        "doc_chunks": _q_doc_chunks,
+        "packed_sequences": _q_packed_sequences,
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
@@ -1829,6 +1864,52 @@ SELECT e.event_id, e.user_id, w.win_id,
        CAST(round((epoch(e.ts) - epoch(w.w_start)) * 1000) AS BIGINT) AS into_ms
 FROM e JOIN w ON e.user_id = w.user_id
              AND e.ts >= w.w_start AND e.ts <= w.w_end
+""",
+        # chunking: raw \s+ tokens (NOT the lowercased _DUCK_TOKS);
+        # DuckDB list_slice is inclusive-end, Spark slice is (start, len)
+        "doc_chunks": f"""
+WITH t AS (
+  SELECT text_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM read_parquet('{td}/textdocs.parquet')
+),
+n AS (
+  SELECT text_id, toks, len(toks) AS nt,
+         CASE WHEN len(toks) <= {CHUNK_WINDOW} THEN 1
+              ELSE CAST(ceil((len(toks) - {CHUNK_WINDOW}) / CAST({CHUNK_WINDOW - CHUNK_OVERLAP} AS DOUBLE)) AS INT) + 1
+         END AS nc
+  FROM t
+),
+x AS (
+  SELECT text_id,
+         unnest(list_transform(generate_series(0, nc - 1),
+           i -> {{'ci': i,
+                 'txt': array_to_string(list_slice(toks, i*{CHUNK_WINDOW - CHUNK_OVERLAP} + 1, i*{CHUNK_WINDOW - CHUNK_OVERLAP} + {CHUNK_WINDOW}), ' ')}})) AS u
+  FROM n
+)
+SELECT text_id AS doc_id,
+       CAST(u.ci AS BIGINT) AS chunk_idx,
+       u.txt AS chunk_text,
+       CAST(len(list_filter(string_split_regex(u.txt, '\\s+'), x -> x <> '')) AS BIGINT) AS chunk_tokens
+FROM x
+""",
+        # offset packing: single global cumsum (oracle scale only)
+        "packed_sequences": f"""
+WITH t AS (
+  SELECT text_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n
+  FROM read_parquet('{td}/textdocs.parquet')
+),
+c AS (
+  SELECT text_id, n,
+         sum(n) OVER (ORDER BY text_id ROWS UNBOUNDED PRECEDING) AS cend
+  FROM t
+)
+SELECT text_id AS doc_id, n AS n_tokens,
+       CAST(floor(CAST(cend - n AS DOUBLE) / {PACK_TARGET}) AS BIGINT) AS bin,
+       CAST((cend - n) - CAST(floor(CAST(cend - n AS DOUBLE) / {PACK_TARGET}) AS BIGINT) * {PACK_TARGET} AS BIGINT) AS bin_offset,
+       (n > 0 AND floor(CAST(cend - 1 AS DOUBLE) / {PACK_TARGET}) > floor(CAST(cend - n AS DOUBLE) / {PACK_TARGET})) AS straddle
+FROM c
 """,
         # KMV sketch: identical 52-bit md5-prefix hashes -> identical
         # bottom-64 set and identical (k-1)/R(h_k) estimate in both engines
