@@ -415,8 +415,23 @@ def embedding_cosine_pairs(
         .distinct()
     )
 
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return verify_cosine_pairs(pairs, df, id_col, vec_col, threshold)
+
+
+def verify_cosine_pairs(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact-cosine verification of candidate (id_a, id_b) pairs against a
+    vector table: join both vectors back, verify in a vectorized
+    mapInPandas kernel (einsum per Arrow batch), keep pairs at/above
+    ``threshold``. Shared by the batch LSH path and the incremental path
+    — the candidates differ, the verification contract doesn't."""
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     withvecs = pairs.join(va, "id_a").join(vb, "id_b")
 
     def verify(batches):

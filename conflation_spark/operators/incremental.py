@@ -177,6 +177,117 @@ def incremental_minhash_pairs(
     ).distinct()
 
 
+def checkpoint_emb_band_table(
+    df: DataFrame,
+    table_name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    dim: int = 64,
+    n_buckets: int = BAND_BUCKETS,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Embedding twin of ``checkpoint_band_table``: persist the corpus's
+    hyperplane-LSH band rows (id, band_idx, band_val — the
+    ``dedup.embedding_cosine_pairs`` family) bucketed on ``band_val``.
+    Folding a delta then re-signs ONLY the delta (the corpus matmul+LSH
+    never re-runs); the corpus VECTORS are still read at cosine-verify
+    time — that's a narrow column scan, not the signature compute."""
+    from conflation_spark.operators.dedup import (
+        EMB_LSH_BANDS,
+        EMB_LSH_BITS_PER_BAND,
+        EMB_LSH_SEED,
+        banded_signature_udf,
+    )
+    from conflation_spark.functions.kernels import lsh_planes
+
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        jvm = spark._jvm
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = jvm.org.apache.hadoop.fs.Path(wh, table_name.split(".")[-1].lower())
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
+    planes = lsh_planes(EMB_LSH_BANDS * EMB_LSH_BITS_PER_BAND, dim, EMB_LSH_SEED)
+    sig = banded_signature_udf(planes, EMB_LSH_BANDS)
+    banded = (
+        df.select(F.col(id_col).alias("id"), sig(F.col(vec_col)).alias("bands"))
+        .repartition("id")  # UDF exchange barrier (CLAUDE.md rule 8)
+        .select("id", F.posexplode("bands").alias("band_idx", "band_val"))
+    )
+    (
+        banded.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, "band_val")
+        .sortBy("band_val")
+        .saveAsTable(table_name)
+    )
+    return spark.table(table_name)
+
+
+def incremental_embedding_pairs(
+    spark,
+    corpus_table: str,
+    corpus_vectors: DataFrame,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    threshold: float = 0.95,
+    dim: int = 64,
+) -> DataFrame:
+    """New VERIFIED cosine near-dup pairs introduced by a delta vector
+    batch: delta x delta plus delta x corpus candidates from the band
+    join (corpus side = bucketed checkpoint, zero re-signing), then the
+    shared exact-cosine kernel (``dedup.verify_cosine_pairs``) over the
+    union of corpus and delta vectors. Same (id_a, id_b, cosine_c)
+    contract as the batch ``embedding_cosine_pairs``; equality with the
+    batch run over corpus+delta is tested (recall caveats at the
+    threshold boundary are the family's, identical in both paths)."""
+    from conflation_spark.operators.dedup import (
+        EMB_LSH_BANDS,
+        EMB_LSH_BITS_PER_BAND,
+        EMB_LSH_SEED,
+        banded_signature_udf,
+        verify_cosine_pairs,
+    )
+    from conflation_spark.functions.kernels import lsh_planes
+
+    planes = lsh_planes(EMB_LSH_BANDS * EMB_LSH_BITS_PER_BAND, dim, EMB_LSH_SEED)
+    sig = banded_signature_udf(planes, EMB_LSH_BANDS)
+    d = (
+        delta.select(F.col(id_col).alias("id"), sig(F.col(vec_col)).alias("bands"))
+        .repartition("id")
+        .select("id", F.posexplode("bands").alias("band_idx", "band_val"))
+    )
+    corpus = spark.table(corpus_table)
+    dd_a, dd_b = d.alias("a"), d.alias("b")
+    delta_delta = dd_a.join(
+        dd_b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    dc_d, dc_c = d.alias("d"), corpus.alias("c")
+    delta_corpus = dc_d.join(
+        dc_c,
+        (F.col("d.band_idx") == F.col("c.band_idx"))
+        & (F.col("d.band_val") == F.col("c.band_val")),
+    ).select(
+        F.least(F.col("d.id"), F.col("c.id")).alias("id_a"),
+        F.greatest(F.col("d.id"), F.col("c.id")).alias("id_b"),
+    )
+    cands = (
+        delta_delta.unionByName(delta_corpus)
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    all_vecs = corpus_vectors.select(id_col, vec_col).unionByName(
+        delta.select(id_col, vec_col)
+    )
+    return verify_cosine_pairs(cands, all_vecs, id_col, vec_col, threshold)
+
+
 def incremental_components(
     new_pairs: DataFrame,
     prior_labels: DataFrame,

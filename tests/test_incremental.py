@@ -197,3 +197,40 @@ def test_hot_bucket_caps_bound_the_incremental_join(spark):
     )
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got == {("cxx", "dxx")}
+
+
+def test_incremental_embedding_pairs_equal_batch(spark):
+    """Embedding twin of the incremental band join: corpus signatures come
+    from the bucketed checkpoint (no re-signing), and the incremental
+    pairs for a delta equal the NEW pairs of the batch run over
+    corpus+delta (pairs involving at least one delta vector)."""
+    from conflation_spark.operators.dedup import embedding_cosine_pairs
+    from conflation_spark.operators.incremental import (
+        checkpoint_emb_band_table,
+        incremental_embedding_pairs,
+    )
+
+    d = ensure_text_fixture("sf0.001")
+    v = spark.read.parquet(f"{d}/vectors.parquet").select("vec_id", "vec")
+    corpus = v.where(F.col("vec_id") < "v000200")
+    delta = v.where(F.col("vec_id") >= "v000200")
+    checkpoint_emb_band_table(corpus, "test_emb_bands", "vec_id", "vec")
+    got = {
+        (r["id_a"], r["id_b"], r["cosine_c"])
+        for r in incremental_embedding_pairs(
+            spark, "test_emb_bands", corpus, delta, "vec_id", "vec", 0.95
+        ).collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"], r["cosine_c"])
+        for r in embedding_cosine_pairs(v, "vec_id", "vec", 0.95).collect()
+    }
+    want = {t for t in batch if t[0] >= "v000200" or t[1] >= "v000200"}
+    assert got == want and got
+    # plan: the corpus band scan is the bucketed checkpoint
+    plan = (
+        incremental_embedding_pairs(
+            spark, "test_emb_bands", corpus, delta, "vec_id", "vec", 0.95
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Bucketed: true" in plan
