@@ -518,6 +518,22 @@ def _q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the mapInPandas kernel: genuine 16-bit PCM
+    WAV blobs parsed with the stdlib codec (functions/wav.py); the
+    oracle reads the truth planted from the SOURCE samples — PCM is
+    lossless, so the hash match proves the decoder."""
+    from conflation_spark.operators.multimodal import extract_audio_features
+
+    blobs = spark.read.parquet(f"{_text_dir(sf_dir)}/audio_blobs.parquet")
+    feats = extract_audio_features(blobs)
+    q = [
+        F.floor(F.col("feature")[i] * 1e6 + F.lit(0.5)).cast("long").alias(f"a{i}")
+        for i in range(16)
+    ]
+    return feats.select("media_ref", "sample_rate", "n_samples", "n_channels", *q)
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.text import with_quality
 
@@ -977,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "media_metadata": _q_media_metadata,
         "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
         "text_stats": _q_text_stats,
         "doc_chunks": _q_doc_chunks,
         "packed_sequences": _q_packed_sequences,
@@ -1423,6 +1440,14 @@ FROM b
 SELECT media_ref, true_width AS width, true_height AS height,
        {", ".join(f"f{i} AS f{i}" for i in range(16))}
 FROM read_parquet('{td}/media_blobs.parquet')
+""",
+        # audio: same planted-truth design (Spark decodes the WAV bytes,
+        # the oracle reads ground truth from the source samples)
+        "audio_features": f"""
+SELECT media_ref, true_sample_rate AS sample_rate,
+       true_n_samples AS n_samples, true_n_channels AS n_channels,
+       {", ".join(f"a{i} AS a{i}" for i in range(16))}
+FROM read_parquet('{td}/audio_blobs.parquet')
 """,
         "ann_topk": f"""
 WITH v AS (SELECT vec_id, vec FROM read_parquet('{td}/vectors.parquet')),

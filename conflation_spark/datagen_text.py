@@ -35,6 +35,7 @@ VOCAB = [
 SF_TEXT = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 8000, "sf1": 30000}
 SF_VEC = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 6000, "sf1": 20000}
 SF_MEDIA = {"sf0.001": 80, "sf0.01": 400, "sf0.1": 1600, "sf1": 6000}
+SF_AUDIO = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1200, "sf1": 4000}
 DIM = 64
 
 
@@ -198,6 +199,59 @@ def gen_media_blobs(out_dir: str, n: int, seed: int = 23) -> None:
     )
 
 
+def gen_audio_blobs(out_dir: str, n: int, seed: int = 29) -> None:
+    """Real 16-bit PCM WAV blobs + planted truth — the audio analog of
+    ``gen_media_blobs``: content = genuine RIFF/WAVE bytes (stdlib codec,
+    `functions/wav.py`), truth columns (sample_rate / n_samples /
+    n_channels / quantized 16-segment mean-abs feature) computed from the
+    SOURCE samples before encoding. PCM is lossless, so the Spark-side
+    decode must reproduce the truth exactly (`audio_features` oracle).
+    Waveforms are sine mixtures + noise at varied rates/lengths, ~40%
+    stereo."""
+    from conflation_spark.functions.wav import (
+        audio_feature_segments,
+        encode_wav,
+        quantize_feature,
+    )
+
+    rng = np.random.default_rng(seed)
+    rates = [8000, 16000, 22050]
+    refs, blobs, srs, lens, chs = [], [], [], [], []
+    feats = np.zeros((n, 16), dtype=np.int64)
+    for i in range(n):
+        sr = int(rates[int(rng.integers(0, len(rates)))])
+        nsamp = int(rng.integers(sr // 20, sr // 4))  # 50-250 ms
+        ch = 2 if rng.random() < 0.4 else 1
+        t = np.arange(nsamp) / sr
+        wave = np.zeros((nsamp, ch))
+        for _ in range(int(rng.integers(1, 4))):
+            f = rng.uniform(80, 2000)
+            amp = rng.uniform(0.05, 0.4)
+            ph = rng.uniform(0, 2 * np.pi, ch)
+            wave += amp * np.sin(2 * np.pi * f * t[:, None] + ph)
+        wave += rng.normal(0, 0.02, (nsamp, ch))
+        s = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+        refs.append(f"a{i:06d}")
+        blobs.append(encode_wav(s, sr))
+        srs.append(sr)
+        lens.append(nsamp)
+        chs.append(ch)
+        feats[i] = quantize_feature(audio_feature_segments(s))
+    cols = {
+        "media_ref": pa.array(refs, pa.string()),
+        "media_kind": pa.array(["audio"] * n, pa.string()),
+        "content": pa.array(blobs, pa.binary()),
+        "true_sample_rate": pa.array(srs, pa.int32()),
+        "true_n_samples": pa.array(lens, pa.int64()),
+        "true_n_channels": pa.array(chs, pa.int32()),
+    }
+    for j in range(16):
+        cols[f"a{j}"] = pa.array(feats[:, j].tolist(), pa.int64())
+    pq.write_table(
+        pa.table(cols), os.path.join(out_dir, "audio_blobs.parquet"), row_group_size=128
+    )
+
+
 def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     root = root or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "text"
@@ -205,13 +259,14 @@ def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     if sf_name not in SF_TEXT:
         sf_name = "sf0.01"
     out = os.path.join(root, sf_name)
-    marker = os.path.join(out, "_SUCCESS_v5")
+    marker = os.path.join(out, "_SUCCESS_v6")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
     gen_textdocs(out, SF_TEXT[sf_name])
     gen_vectors(out, SF_VEC[sf_name])
     gen_media_blobs(out, SF_MEDIA[sf_name])
+    gen_audio_blobs(out, SF_AUDIO[sf_name])
     with open(marker, "w") as f:
         f.write("ok")
     return out

@@ -4,13 +4,15 @@ Media rides in documents as ``kind='media'`` spans (``media_ref`` keys into
 a blobs table), mirroring the reference where every trace point IS an image
 (Mapillary image ids, /root/reference/conflation/trace_fetching/mapillary.py:41,448-456).
 
-The image path is REAL end-to-end: blobs carry genuine PNG bytes (the
-fixture encodes them with the stdlib codec in ``functions/png.py``) and
-``extract_image_features`` decodes them inside the ``mapInPandas`` kernel —
-chunk/CRC parsing, inflate, all five scanline unfilters — with no PIL or
-other native dependency. Video frame EXTRACTION stays a deterministic
-digest stub (no ffmpeg in any form here), but its Spark-side plumbing
-(schema, batching, per-blob fan-out) is the real shape.
+The image AND audio paths are REAL end-to-end: blobs carry genuine PNG /
+16-bit PCM WAV bytes (fixtures encode them with the stdlib codecs in
+``functions/png.py`` / ``functions/wav.py``) and the feature extractors
+decode them inside ``mapInPandas`` kernels — PNG chunk/CRC parsing +
+inflate + unfilters, RIFF/fmt/data parsing — with no PIL/libsndfile or
+other native dependency. Only video frame EXTRACTION stays a
+deterministic digest stub (no video codec exists in any usable form
+here), with its Spark-side plumbing (schema, batching, per-blob fan-out)
+being the real shape.
 """
 
 from __future__ import annotations
@@ -24,12 +26,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conflation_spark.functions.png import decode_png, image_feature_grid
+from conflation_spark.functions.wav import audio_feature_segments, decode_wav
 
 MEDIA_META_SCHEMA = (
     "media_ref string, media_kind string, n_bytes long, content_sha256 string"
 )
 IMAGE_FEATURE_SCHEMA = (
     "media_ref string, width int, height int, feature array<double>"
+)
+AUDIO_FEATURE_SCHEMA = (
+    "media_ref string, sample_rate int, n_samples long, n_channels int, "
+    "feature array<double>"
 )
 FRAME_SAMPLE_SCHEMA = "media_ref string, frame_idx int, frame_sha1 string"
 
@@ -103,6 +110,35 @@ def extract_image_features(blobs: DataFrame, decoder=None) -> DataFrame:
 
     imgs = blobs.where(F.col("media_kind") == "image").select("media_ref", "content")
     return imgs.mapInPandas(op, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def decode_audio(content: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Real audio decode: 16-bit PCM WAV bytes -> (sample_rate, n_samples,
+    n_channels, 16-segment mean-abs feature). Raises ValueError on
+    non-PCM/corrupt input (`functions/wav.py`)."""
+    samples, sr = decode_wav(content)
+    return sr, samples.shape[0], samples.shape[1], audio_feature_segments(samples)
+
+
+def extract_audio_features(blobs: DataFrame, decoder=None) -> DataFrame:
+    """mapInPandas over binary content -> (sample_rate, n_samples,
+    n_channels, feature[16]) — the audio twin of
+    ``extract_image_features``; a REAL RIFF/PCM parse per blob."""
+    decode = decoder or decode_audio
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                sr, n, ch, feat = decode(bytes(content))
+                rows.append((ref, sr, n, ch, [float(x) for x in feat]))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "sample_rate", "n_samples", "n_channels", "feature"],
+            )
+
+    auds = blobs.where(F.col("media_kind") == "audio").select("media_ref", "content")
+    return auds.mapInPandas(op, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def sample_frames(blobs: DataFrame, every_n: int = 2, n_frames: int = 3) -> DataFrame:
