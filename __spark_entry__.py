@@ -534,6 +534,16 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_ref", "sample_rate", "n_samples", "n_channels", *q)
 
 
+def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame decode: uncompressed Y4M streams parsed in the
+    mapInPandas kernel (functions/y4m.py), sampling frames 0/2/4; the
+    oracle reads per-frame luma truth planted from the source planes."""
+    from conflation_spark.operators.multimodal import extract_video_frames
+
+    blobs = spark.read.parquet(f"{_text_dir(sf_dir)}/video_blobs.parquet")
+    return extract_video_frames(blobs, every_n=2, max_frames=3)
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.text import with_quality
 
@@ -994,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
         "text_stats": _q_text_stats,
         "doc_chunks": _q_doc_chunks,
         "packed_sequences": _q_packed_sequences,
@@ -1448,6 +1459,16 @@ SELECT media_ref, true_sample_rate AS sample_rate,
        true_n_samples AS n_samples, true_n_channels AS n_channels,
        {", ".join(f"a{i} AS a{i}" for i in range(16))}
 FROM read_parquet('{td}/audio_blobs.parquet')
+""",
+        # video: planted per-sampled-frame luma truth (frames 0/2/4)
+        "video_frames": f"""
+WITH b AS (SELECT * FROM read_parquet('{td}/video_blobs.parquet'))
+SELECT media_ref, CAST(0 AS INT) AS frame_idx, true_width AS width,
+       true_height AS height, m0 AS y_mean_c FROM b
+UNION ALL
+SELECT media_ref, CAST(2 AS INT), true_width, true_height, m1 FROM b
+UNION ALL
+SELECT media_ref, CAST(4 AS INT), true_width, true_height, m2 FROM b
 """,
         "ann_topk": f"""
 WITH v AS (SELECT vec_id, vec FROM read_parquet('{td}/vectors.parquet')),

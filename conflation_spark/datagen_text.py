@@ -36,6 +36,7 @@ SF_TEXT = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 8000, "sf1": 30000}
 SF_VEC = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 6000, "sf1": 20000}
 SF_MEDIA = {"sf0.001": 80, "sf0.01": 400, "sf0.1": 1600, "sf1": 6000}
 SF_AUDIO = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1200, "sf1": 4000}
+SF_VIDEO = {"sf0.001": 30, "sf0.01": 150, "sf0.1": 600, "sf1": 2000}
 DIM = 64
 
 
@@ -252,6 +253,51 @@ def gen_audio_blobs(out_dir: str, n: int, seed: int = 29) -> None:
     )
 
 
+def gen_video_blobs(out_dir: str, n: int, seed: int = 31) -> None:
+    """Real Y4M (uncompressed YUV4MPEG2) video blobs + planted truth —
+    closing the video modality like PNG/WAV closed image/audio: content
+    = genuine Y4M streams (`functions/y4m.py`), truth = width / height /
+    n_frames plus the quantized mean luma of frames 0, 2, 4 (the default
+    frame-sampling stride) computed from the SOURCE planes. Every blob
+    has >= 5 frames so the three sampled positions always exist."""
+    from conflation_spark.functions.y4m import encode_y4m, frame_luma_mean, quantize
+
+    rng = np.random.default_rng(seed)
+    refs, blobs, ws, hs, nfs = [], [], [], [], []
+    means = np.zeros((n, 3), dtype=np.int64)
+    for i in range(n):
+        h = int(rng.integers(8, 33)) * 2
+        w = int(rng.integers(8, 33)) * 2
+        nf = int(rng.integers(5, 10))
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (yy * 255 // max(h - 1, 1) + xx * 255 // max(w - 1, 1)) // 2
+        frames = np.zeros((nf, h, w), dtype=np.uint8)
+        for t in range(nf):
+            frames[t] = np.clip(
+                base + rng.integers(-30, 31, (h, w)) + t * 10, 0, 255
+            ).astype(np.uint8)
+        refs.append(f"vid{i:06d}")
+        blobs.append(encode_y4m(frames))
+        ws.append(w)
+        hs.append(h)
+        nfs.append(nf)
+        for j, fi in enumerate((0, 2, 4)):
+            means[i, j] = quantize(frame_luma_mean(frames[fi]))
+    cols = {
+        "media_ref": pa.array(refs, pa.string()),
+        "media_kind": pa.array(["video"] * n, pa.string()),
+        "content": pa.array(blobs, pa.binary()),
+        "true_width": pa.array(ws, pa.int32()),
+        "true_height": pa.array(hs, pa.int32()),
+        "true_n_frames": pa.array(nfs, pa.int32()),
+    }
+    for j in range(3):
+        cols[f"m{j}"] = pa.array(means[:, j].tolist(), pa.int64())
+    pq.write_table(
+        pa.table(cols), os.path.join(out_dir, "video_blobs.parquet"), row_group_size=64
+    )
+
+
 def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     root = root or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "text"
@@ -259,7 +305,7 @@ def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     if sf_name not in SF_TEXT:
         sf_name = "sf0.01"
     out = os.path.join(root, sf_name)
-    marker = os.path.join(out, "_SUCCESS_v6")
+    marker = os.path.join(out, "_SUCCESS_v7")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
@@ -267,6 +313,7 @@ def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     gen_vectors(out, SF_VEC[sf_name])
     gen_media_blobs(out, SF_MEDIA[sf_name])
     gen_audio_blobs(out, SF_AUDIO[sf_name])
+    gen_video_blobs(out, SF_VIDEO[sf_name])
     with open(marker, "w") as f:
         f.write("ok")
     return out

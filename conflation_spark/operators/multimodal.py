@@ -141,10 +141,59 @@ def extract_audio_features(blobs: DataFrame, decoder=None) -> DataFrame:
     return auds.mapInPandas(op, schema=AUDIO_FEATURE_SCHEMA)
 
 
+VIDEO_FRAME_SCHEMA = (
+    "media_ref string, frame_idx int, width int, height int, y_mean_c long"
+)
+
+
+def decode_video_frames(content: bytes, every_n: int = 2, max_frames: int = 3):
+    """Real video decode for uncompressed Y4M streams
+    (`functions/y4m.py`): yields (frame_idx, width, height, quantized
+    mean luma) for frames 0, every_n, 2*every_n, ... up to max_frames.
+    Raises ValueError on non-Y4M/corrupt input; compressed codecs have
+    no decoder in this environment and go through the injectable
+    ``decoder`` seam of ``extract_video_frames``."""
+    from conflation_spark.functions.y4m import decode_y4m, frame_luma_mean, quantize
+
+    frames, w, h = decode_y4m(content)
+    out = []
+    for j in range(max_frames):
+        fi = j * every_n
+        if fi >= frames.shape[0]:
+            break
+        out.append((fi, w, h, quantize(frame_luma_mean(frames[fi]))))
+    return out
+
+
+def extract_video_frames(
+    blobs: DataFrame, every_n: int = 2, max_frames: int = 3, decoder=None
+) -> DataFrame:
+    """mapInPandas over binary content -> one row per sampled frame
+    (frame_idx, width, height, y_mean_c) — REAL Y4M parsing by default;
+    ``decoder`` is the seam for other containers."""
+    decode = decoder or (
+        lambda content: decode_video_frames(content, every_n, max_frames)
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                for fi, w, h, m in decode(bytes(content)):
+                    rows.append((ref, fi, w, h, m))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "frame_idx", "width", "height", "y_mean_c"]
+            )
+
+    vids = blobs.where(F.col("media_kind") == "video").select("media_ref", "content")
+    return vids.mapInPandas(op, schema=VIDEO_FRAME_SCHEMA)
+
+
 def sample_frames(blobs: DataFrame, every_n: int = 2, n_frames: int = 3) -> DataFrame:
-    """Video frame-sampling plumbing: mapInPandas emitting n_frames rows per
-    video blob (decode stubbed: frame digest derived from content+idx —
-    there is no video codec of any kind in this container)."""
+    """Frame-sampling plumbing for OPAQUE video containers (formats with
+    no decoder here): mapInPandas emitting n_frames digest rows per blob.
+    For real decoding of uncompressed Y4M streams use
+    ``extract_video_frames``."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

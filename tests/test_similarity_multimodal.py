@@ -190,3 +190,31 @@ def test_audio_features_real_decode_matches_planted_truth(spark):
 def test_audio_decode_raises_on_garbage():
     with pytest.raises(ValueError):
         multimodal.decode_audio(b"definitely not audio")
+
+
+def test_video_frames_real_decode_matches_planted_truth(spark):
+    """The REAL video path: fixture Y4M blobs parsed in the kernel; the
+    sampled frames' dims and quantized luma means equal the truth planted
+    from the source planes, for EVERY blob."""
+    d = ensure_text_fixture("sf0.001")
+    blobs = spark.read.parquet(f"{d}/video_blobs.parquet")
+    got = multimodal.extract_video_frames(blobs, every_n=2, max_frames=3)
+    joined = got.join(blobs, "media_ref")
+    n = blobs.count()
+    assert joined.count() == 3 * n  # every blob has >= 5 frames
+    m = (
+        F.when(F.col("frame_idx") == 0, F.col("m0"))
+        .when(F.col("frame_idx") == 2, F.col("m1"))
+        .otherwise(F.col("m2"))
+    )
+    ok = joined.where(
+        (F.col("width") == F.col("true_width"))
+        & (F.col("height") == F.col("true_height"))
+        & (F.col("y_mean_c") == m)
+    )
+    assert ok.count() == 3 * n
+
+
+def test_video_decode_raises_on_garbage():
+    with pytest.raises(ValueError):
+        multimodal.decode_video_frames(b"not a y4m stream")
