@@ -102,18 +102,14 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
-def _minhash_banded(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n_hashes: int,
-    bands: int,
-    shingle_k: int,
-) -> DataFrame:
-    """(id, band_idx, band_hash) rows — one per (doc, band)."""
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
-    band_structs = [
+def band_hash_structs(bands: int, rows_per_band: int) -> list:
+    """The band packing — xxhash64 over the comma-joined mh columns of
+    each band — as struct expressions. ONE definition shared by the
+    batch ``_minhash_banded`` and the streaming per-row formulation
+    (streaming/ingest.stateless_minhash_bands): band hashes from the two
+    paths MUST stay byte-comparable (checkpoints, parity tests), so the
+    packing cannot be allowed to drift between copies."""
+    return [
         F.struct(
             F.lit(bi).alias("band_idx"),
             F.xxhash64(
@@ -125,6 +121,35 @@ def _minhash_banded(
         )
         for bi in range(bands)
     ]
+
+
+def drop_hot_buckets(
+    banded: DataFrame, cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Drop rows of band buckets larger than the cap — the boilerplate
+    guard shared by the batch LSH join, the embedding band join, and the
+    incremental checkpoint/delta paths (one definition, so 'hot bucket'
+    cannot silently mean different things on different paths)."""
+    wb = Window.partitionBy(*cols)
+    return (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        .where(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
+def _minhash_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_k: int,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows — one per (doc, band)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    band_structs = band_hash_structs(bands, rows_per_band)
     return sig.select("id", F.explode(F.array(*band_structs)).alias("b")).select(
         "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
     )
@@ -172,12 +197,7 @@ def minhash_lsh_pairs(
     """
     banded = _minhash_banded(df, id_col, text_col, n_hashes, bands, shingle_k)
     if max_bucket_size is not None:
-        wb = Window.partitionBy("band_idx", "band_hash")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
-            .where(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+        banded = drop_hot_buckets(banded, ["band_idx", "band_hash"], max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -397,12 +417,7 @@ def embedding_cosine_pairs(
     )
     banded = s.select("id", F.posexplode("bands").alias("band_idx", "band_val"))
     if max_bucket_size is not None:
-        wb = Window.partitionBy("band_idx", "band_val")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
-            .where(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+        banded = drop_hot_buckets(banded, ["band_idx", "band_val"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

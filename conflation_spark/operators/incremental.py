@@ -42,6 +42,27 @@ from conflation_spark.operators.dedup import _minhash_banded
 BAND_BUCKETS = 16
 
 
+def _drop_stale_table(spark, table_name: str) -> None:
+    """DROP TABLE IF EXISTS plus removal of the stale managed-table
+    LOCATION a previous session's in-memory catalog may have left behind
+    (saveAsTable refuses to reuse it: LOCATION_ALREADY_EXISTS). Handles
+    database-qualified names — a managed table in a non-default database
+    lives at <warehouse>/<db>.db/<table>, not <warehouse>/<table>."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    parts = table_name.lower().split(".")
+    # strip a leading catalog qualifier if present (spark_catalog.db.t)
+    if len(parts) >= 2 and parts[-2] != "default":
+        rel = f"{parts[-2]}.db/{parts[-1]}"
+    else:
+        rel = parts[-1]
+    jvm = spark._jvm
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = jvm.org.apache.hadoop.fs.Path(wh, rel)
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
+
+
 def checkpoint_band_table(
     df: DataFrame,
     table_name: str,
@@ -69,28 +90,12 @@ def checkpoint_band_table(
     can exceed the cap across appends (re-checkpoint periodically)."""
     spark = df.sparkSession
     if mode == "overwrite":
-        # an in-memory catalog (fresh session) can leave a STALE warehouse
-        # directory behind for a table it no longer knows about, and
-        # managed-table creation refuses to reuse the location — drop both
-        # the entry and the directory through the Hadoop FS API (works on
-        # any filesystem, not just local)
-        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-        jvm = spark._jvm
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        loc = jvm.org.apache.hadoop.fs.Path(wh, table_name.split(".")[-1].lower())
-        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(loc):
-            fs.delete(loc, True)
+        _drop_stale_table(spark, table_name)
     banded = _minhash_banded(df, id_col, text_col, n_hashes, bands, shingle_k)
     if max_bucket_size is not None:
-        from pyspark.sql import Window
+        from conflation_spark.operators.dedup import drop_hot_buckets
 
-        wb = Window.partitionBy("band_idx", "band_hash")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
-            .where(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+        banded = drop_hot_buckets(banded, ["band_idx", "band_hash"], max_bucket_size)
     (
         banded.write.format("parquet")
         .mode(mode)
@@ -147,14 +152,9 @@ def incremental_minhash_pairs(
     re-apply the global cap."""
     d = _minhash_banded(delta, id_col, text_col, n_hashes, bands, shingle_k)
     if max_bucket_size is not None:
-        from pyspark.sql import Window
+        from conflation_spark.operators.dedup import drop_hot_buckets
 
-        wb = Window.partitionBy("band_idx", "band_hash")
-        d = (
-            d.withColumn("_bsz", F.count(F.lit(1)).over(wb))
-            .where(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+        d = drop_hot_buckets(d, ["band_idx", "band_hash"], max_bucket_size)
     corpus = spark.table(corpus_table)
     dd_a, dd_b = d.alias("a"), d.alias("b")
     delta_delta = dd_a.join(
@@ -202,13 +202,7 @@ def checkpoint_emb_band_table(
 
     spark = df.sparkSession
     if mode == "overwrite":
-        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-        jvm = spark._jvm
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        loc = jvm.org.apache.hadoop.fs.Path(wh, table_name.split(".")[-1].lower())
-        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(loc):
-            fs.delete(loc, True)
+        _drop_stale_table(spark, table_name)
     planes = lsh_planes(EMB_LSH_BANDS * EMB_LSH_BITS_PER_BAND, dim, EMB_LSH_SEED)
     sig = banded_signature_udf(planes, EMB_LSH_BANDS)
     banded = (

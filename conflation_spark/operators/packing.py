@@ -92,9 +92,22 @@ def pack_sequences(
 
     ``bucket``: order-aligned coarse column for the two-phase prefix sum
     (MUST sort consistently with ``id_col`` — a prefix of it, a date,
-    etc.). Defaults to the id's first 4 characters. The per-bucket totals
-    pass collects one row per bucket — bounded, and enforced via
-    ``max_buckets``."""
+    etc.). Defaults to the id's first 4 characters, which is only
+    order-aligned for STRING ids (fixed-width prefixes); numeric ids
+    sort numerically while their string prefixes sort lexicographically
+    ('10' < '2'), so the default is REFUSED for non-string id columns —
+    pass an explicitly order-aligned bucket (e.g. ``F.floor(F.col(id)
+    / 1000)`` kept numeric-order-consistent as a zero-padded string).
+    The per-bucket totals pass collects one row per bucket — bounded,
+    and enforced via ``max_buckets`` BEFORE the collect."""
+    if bucket is None:
+        id_type = dict(df.dtypes).get(id_col)
+        if id_type != "string":
+            raise ValueError(
+                f"pack_sequences' default bucket (string prefix) is not "
+                f"order-aligned for {id_col!r} of type {id_type}; pass an "
+                "order-aligned `bucket` column explicitly"
+            )
     # buckets travel as strings (driver offsets table) — the cast must
     # stay order-aligned with id_col, which holds for id prefixes and
     # ISO dates (the documented contract)
@@ -109,12 +122,17 @@ def pack_sequences(
     local = df.withColumn("_bkt", b).withColumn(
         "_local_end", F.sum(F.col(tokens_col)).over(w_in)
     )
+    # the limit bounds the DRIVER-side collect itself (not just a
+    # post-hoc check): at most max_buckets+1 rows ever reach the driver
     totals = (
-        local.groupBy("_bkt").agg(F.max("_local_end").alias("_tot")).orderBy("_bkt")
+        local.groupBy("_bkt")
+        .agg(F.max("_local_end").alias("_tot"))
+        .orderBy("_bkt")
+        .limit(max_buckets + 1)
     ).collect()
     if len(totals) > max_buckets:
         raise ValueError(
-            f"{len(totals)} buckets exceeds max_buckets={max_buckets}; "
+            f"more than max_buckets={max_buckets} buckets; "
             "coarsen the bucket column"
         )
     offsets = {}

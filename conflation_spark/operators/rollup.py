@@ -94,19 +94,21 @@ def rollup_medians_hist(
     (aggregation.py:112-121 asymmetry), same output shape as
     ``rollup_medians`` with ``median_kph`` carrying the estimate.
     """
-    from conflation_spark.operators.sketch import histogram_quantile
+    from conflation_spark.operators.sketch import histogram_quantile, quantile_histogram
 
     extra = list(extra_keys or [])
     base = ["density", "road_class", "type", *extra]
-    x = F.col("kph").cast("double")
-    raw = F.floor((x - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(n_bins)))
-    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("long")
-    fin = (
-        measurements.where(x.isNotNull())
-        .groupBy("country", "region", *base, b.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .persist()  # reused by all three levels within the one output plan
-    )
+    # the finest-level histogram IS the sketch operator (one definition of
+    # the bin grid). All three level branches read it; an eager
+    # localCheckpoint guarantees the measurements scan + histogram shuffle
+    # run exactly ONCE (AQE's exchange reuse is not reliable across union
+    # branches). The retained blocks are the tiny bin table (<= groups x
+    # n_bins counting rows) and stay alive because the returned frame
+    # reads them — the same accepted pattern as connected_components'
+    # final label checkpoint (operators/cluster.py).
+    fin = quantile_histogram(
+        measurements, "kph", lo, hi, n_bins, group_cols=["country", "region", *base]
+    ).localCheckpoint(eager=True)
     region = histogram_quantile(
         fin.where(F.col("region") != ""), 0.5, lo, hi, n_bins,
         group_cols=["country", "region", *base],

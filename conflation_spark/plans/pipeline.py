@@ -240,9 +240,18 @@ def profile_stage(spark: SparkSession, work_dir: str, stage: str) -> dict:
     for col, lo, hi, nb, qs in spec["quantiles"]:
         h = quantile_histogram(df, col, lo, hi, nb)
         h = h.localCheckpoint(eager=True)  # reused per quantile
-        for q in qs:
-            v = histogram_quantile(h, q, lo, hi, nb).collect()[0]["q_value"]
-            prof[f"{col}_p{int(q * 100)}"] = round(float(v), 2)
+        try:
+            for q in qs:
+                got = histogram_quantile(h, q, lo, hi, nb).collect()
+                if not got:  # stage empty / column all-null: skip, don't die
+                    break
+                prof[f"{col}_p{int(q * 100)}"] = round(float(got[0]["q_value"]), 2)
+        finally:
+            # free the checkpoint blocks (plain unpersist is a no-op for
+            # localCheckpoints — CLAUDE.md rule 11)
+            from conflation_spark.operators.cluster import _free_local_checkpoint
+
+            _free_local_checkpoint(h)
     man = read_lineage(work_dir, stage)
     man["profile"] = prof
     tmp = _lineage_path(work_dir, stage) + ".tmp"

@@ -214,6 +214,23 @@ def interval_enrich(
     right_cols = right_cols or [
         c for c in right.columns if c not in set(key_cols) | {start_col, end_col}
     ]
+    out_names = [
+        f"{prefix}{start_col}",
+        f"{prefix}{end_col}",
+        *[f"{prefix}{c}" for c in right_cols],
+    ]
+    clash = sorted(set(out_names) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"interval_enrich output column(s) {clash} collide with left "
+            f"columns; pass a different prefix (got {prefix!r})"
+        )
+    dupes = sorted({n for n in out_names if out_names.count(n) > 1})
+    if dupes:
+        raise ValueError(
+            f"interval_enrich would emit duplicate output column(s) {dupes}; "
+            "drop the duplicate from right_cols"
+        )
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(start_col, watermark).select(
         *[F.col(k).alias(f"_rk_{k}") for k in key_cols],
@@ -337,19 +354,12 @@ def stateless_minhash_bands(
 
     mh = [_mh(int(a[i]), int(b[i])).alias(f"mh{i}") for i in range(n_hashes)]
     sig = base.select("id", *mh)
-    rows_per_band = n_hashes // bands
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band_idx"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"mh{bi * rows_per_band + j}") for j in range(rows_per_band)],
-                )
-            ).alias("band_hash"),
-        )
-        for bi in range(bands)
-    ]
+    # the band packing is THE shared definition from dedup.py — streaming
+    # and batch band hashes must stay byte-comparable (checkpoints,
+    # parity tests), so there is exactly one copy of it
+    from conflation_spark.operators.dedup import band_hash_structs
+
+    band_structs = band_hash_structs(bands, n_hashes // bands)
     return sig.select("id", F.explode(F.array(*band_structs)).alias("b")).select(
         "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
     )

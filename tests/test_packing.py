@@ -99,3 +99,19 @@ def test_pack_sequences_bucket_cap(spark):
     )
     with pytest.raises(ValueError, match="buckets"):
         pack_sequences(df, 8, bucket=F.col("text_id"), max_buckets=10)
+
+
+def test_pack_sequences_rejects_numeric_ids_with_default_bucket(spark):
+    """The default bucket (string prefix) sorts lexicographically while
+    numeric ids sort numerically ('10' < '2') — silently wrong packing;
+    the operator must refuse and demand an order-aligned bucket."""
+    df = spark.createDataFrame([(2, 100), (10, 100)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="order-aligned"):
+        pack_sequences(df, 512, id_col="doc_id")
+    # an explicit order-aligned bucket works (zero-padded numeric)
+    out = pack_sequences(
+        df, 512, id_col="doc_id",
+        bucket=F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+    )
+    got = {r["doc_id"]: (r["bin"], r["bin_offset"]) for r in out.collect()}
+    assert got == {2: (0, 0), 10: (0, 100)}
