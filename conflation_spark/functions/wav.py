@@ -65,9 +65,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             if ln < 16:
                 raise ValueError("corrupt WAV: short fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
-        elif tag == b"data":
+        elif tag == b"data" and pcm is None:
+            # first-chunk-wins like real readers (the old last-wins scan
+            # silently decoded only a trailing duplicate data chunk)
             pcm = body
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if fmt is not None and pcm is not None:
+            break
     if fmt is None or pcm is None:
         raise ValueError("truncated WAV: missing fmt or data chunk")
     audio_format, ch, sample_rate, _byte_rate, _block_align, bits = fmt

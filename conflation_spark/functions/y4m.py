@@ -73,8 +73,13 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, int, int]:
             colorspace = tok.decode()
     if not w or not h:
         raise ValueError("corrupt Y4M: header missing W/H")
-    if not colorspace.startswith("C420"):
-        raise ValueError(f"unsupported Y4M colorspace {colorspace}: need C420*")
+    # 8-bit 4:2:0 layouts only: the bit-depth variants (C420p10/p12/p16)
+    # use 2 bytes per sample and would silently misread with this
+    # 1-byte-per-sample frame math
+    if colorspace not in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
+        raise ValueError(
+            f"unsupported Y4M colorspace {colorspace}: need 8-bit C420 family"
+        )
     frame_bytes = h * w + 2 * (h // 2) * (w // 2)
     pos = nl + 1
     frames = []

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conflation_spark.operators.cluster import connected_components
-from conflation_spark.operators.dedup import _minhash_banded
+from conflation_spark.operators.dedup import _minhash_banded, drop_hot_buckets
 
 BAND_BUCKETS = 16
 
@@ -93,8 +93,6 @@ def checkpoint_band_table(
         _drop_stale_table(spark, table_name)
     banded = _minhash_banded(df, id_col, text_col, n_hashes, bands, shingle_k)
     if max_bucket_size is not None:
-        from conflation_spark.operators.dedup import drop_hot_buckets
-
         banded = drop_hot_buckets(banded, ["band_idx", "band_hash"], max_bucket_size)
     (
         banded.write.format("parquet")
@@ -152,8 +150,6 @@ def incremental_minhash_pairs(
     re-apply the global cap."""
     d = _minhash_banded(delta, id_col, text_col, n_hashes, bands, shingle_k)
     if max_bucket_size is not None:
-        from conflation_spark.operators.dedup import drop_hot_buckets
-
         d = drop_hot_buckets(d, ["band_idx", "band_hash"], max_bucket_size)
     corpus = spark.table(corpus_table)
     dd_a, dd_b = d.alias("a"), d.alias("b")

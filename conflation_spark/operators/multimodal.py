@@ -4,15 +4,15 @@ Media rides in documents as ``kind='media'`` spans (``media_ref`` keys into
 a blobs table), mirroring the reference where every trace point IS an image
 (Mapillary image ids, /root/reference/conflation/trace_fetching/mapillary.py:41,448-456).
 
-The image AND audio paths are REAL end-to-end: blobs carry genuine PNG /
-16-bit PCM WAV bytes (fixtures encode them with the stdlib codecs in
-``functions/png.py`` / ``functions/wav.py``) and the feature extractors
-decode them inside ``mapInPandas`` kernels — PNG chunk/CRC parsing +
-inflate + unfilters, RIFF/fmt/data parsing — with no PIL/libsndfile or
-other native dependency. Only video frame EXTRACTION stays a
-deterministic digest stub (no video codec exists in any usable form
-here), with its Spark-side plumbing (schema, batching, per-blob fan-out)
-being the real shape.
+ALL THREE modalities decode for REAL inside ``mapInPandas`` kernels with
+pure-stdlib codecs: PNG images (chunk/CRC parsing + inflate + all five
+unfilters, ``functions/png.py``), 16-bit PCM WAV audio (RIFF/fmt/data
+parsing, ``functions/wav.py``), and uncompressed Y4M video (stream
+header + FRAME markers + 4:2:0 planes, ``functions/y4m.py``) — no
+PIL/libsndfile/ffmpeg dependency anywhere. COMPRESSED formats
+(JPEG/H.264/...) genuinely have no decoder in this environment; they go
+through the injectable ``decoder`` seams, and ``sample_frames`` keeps a
+deterministic digest sampler for opaque containers.
 """
 
 from __future__ import annotations

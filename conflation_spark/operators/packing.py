@@ -108,12 +108,23 @@ def pack_sequences(
                 f"order-aligned for {id_col!r} of type {id_type}; pass an "
                 "order-aligned `bucket` column explicitly"
             )
-    # buckets travel as strings (driver offsets table) — the cast must
-    # stay order-aligned with id_col, which holds for id prefixes and
-    # ISO dates (the documented contract)
-    b = (bucket if bucket is not None else F.substring(F.col(id_col), 1, 4)).cast(
-        "string"
-    )
+        b = F.substring(F.col(id_col), 1, 4)
+    else:
+        # buckets travel as strings (driver offsets table); a NUMERIC
+        # bucket cast to string sorts lexicographically ('10' < '2') and
+        # silently misorders the offsets — require the caller to hand us
+        # a string already shaped for lexicographic order (zero-padded
+        # numbers, ISO dates, id prefixes)
+        btype = df.select(bucket.alias("_b")).schema["_b"].dataType.simpleString()
+        if btype != "string":
+            raise ValueError(
+                f"bucket column has type {btype}; cast it to an "
+                "order-aligned STRING yourself (e.g. lpad(CAST(x AS "
+                "STRING), w, '0')) so lexicographic bucket order matches "
+                f"{id_col!r} order"
+            )
+        b = bucket
+    b = b.cast("string")
     w_in = (
         Window.partitionBy("_bkt")
         .orderBy(id_col)

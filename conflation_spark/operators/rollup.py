@@ -99,16 +99,20 @@ def rollup_medians_hist(
     extra = list(extra_keys or [])
     base = ["density", "road_class", "type", *extra]
     # the finest-level histogram IS the sketch operator (one definition of
-    # the bin grid). All three level branches read it; an eager
+    # the bin grid). All three level branches read it; a LAZY
     # localCheckpoint guarantees the measurements scan + histogram shuffle
-    # run exactly ONCE (AQE's exchange reuse is not reliable across union
-    # branches). The retained blocks are the tiny bin table (<= groups x
-    # n_bins counting rows) and stay alive because the returned frame
-    # reads them — the same accepted pattern as connected_components'
-    # final label checkpoint (operators/cluster.py).
+    # run exactly once ACROSS the branches (AQE's exchange reuse is not
+    # reliable across union stages) while keeping the builder action-free
+    # — materialization happens at the caller's first action. The
+    # retained blocks are the tiny bin table (<= groups x n_bins counting
+    # rows) and stay alive because the returned frame reads them — the
+    # same accepted pattern as connected_components' final label
+    # checkpoint (operators/cluster.py); callers running MANY rollups in
+    # one long session can free consumed results via
+    # cluster._free_local_checkpoint.
     fin = quantile_histogram(
         measurements, "kph", lo, hi, n_bins, group_cols=["country", "region", *base]
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     region = histogram_quantile(
         fin.where(F.col("region") != ""), 0.5, lo, hi, n_bins,
         group_cols=["country", "region", *base],

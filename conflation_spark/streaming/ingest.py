@@ -231,6 +231,12 @@ def interval_enrich(
             f"interval_enrich would emit duplicate output column(s) {dupes}; "
             "drop the duplicate from right_cols"
         )
+    rk_clash = sorted({f"_rk_{k}" for k in key_cols} & set(left.columns))
+    if rk_clash:
+        raise ValueError(
+            f"interval_enrich's internal key alias(es) {rk_clash} collide "
+            "with left columns; rename those left columns"
+        )
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(start_col, watermark).select(
         *[F.col(k).alias(f"_rk_{k}") for k in key_cols],

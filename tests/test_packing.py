@@ -115,3 +115,13 @@ def test_pack_sequences_rejects_numeric_ids_with_default_bucket(spark):
     )
     got = {r["doc_id"]: (r["bin"], r["bin_offset"]) for r in out.collect()}
     assert got == {2: (0, 0), 10: (0, 100)}
+
+
+def test_pack_sequences_rejects_numeric_explicit_bucket(spark):
+    """An explicitly passed NUMERIC bucket would be silently misordered
+    after the string cast ('10' < '2') — refused with guidance."""
+    df = spark.createDataFrame(
+        [(f"d{i:05d}", 10) for i in range(20)], "text_id string, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="order-aligned STRING"):
+        pack_sequences(df, 64, bucket=F.floor(F.lit(3) + F.col("n_tokens")))

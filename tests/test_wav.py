@@ -48,3 +48,18 @@ def test_decode_rejects_garbage_truncation_and_formats():
 def test_encode_rejects_empty():
     with pytest.raises(ValueError):
         encode_wav(np.zeros((0,), np.int16))
+
+
+def test_multiple_data_chunks_first_wins():
+    """A second data chunk (naive concatenation) must not silently
+    replace the first — first-chunk-wins like real readers."""
+    import struct
+
+    s1 = np.arange(10, dtype=np.int16)
+    s2 = np.arange(100, 120, dtype=np.int16)
+    one = encode_wav(s1, 8000)
+    extra = b"data" + struct.pack("<I", s2.nbytes) + s2.tobytes()
+    riff_len = len(one) - 8 + len(extra)
+    doubled = b"RIFF" + struct.pack("<I", riff_len) + one[8:] + extra
+    back, sr = decode_wav(doubled)
+    assert sr == 8000 and (back[:, 0] == s1).all()

@@ -45,3 +45,13 @@ def test_encode_rejects_odd_dims_and_empty():
         encode_y4m(np.zeros((1, 3, 4), dtype=np.uint8))
     with pytest.raises(ValueError):
         encode_y4m(np.zeros((0, 4, 4), dtype=np.uint8))
+
+
+def test_decode_rejects_high_bit_depth_c420():
+    """C420p10 and friends use 2 bytes/sample — the 8-bit frame math
+    would misread them, so they must be rejected as unsupported, not
+    half-decoded into a confusing FRAME-marker error."""
+    f = np.zeros((2, 4, 4), dtype=np.uint8)
+    data = encode_y4m(f).replace(b"C420jpeg", b"C420p10 ", 1)
+    with pytest.raises(ValueError, match="colorspace"):
+        decode_y4m(data)
