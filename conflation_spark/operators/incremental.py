@@ -43,18 +43,38 @@ BAND_BUCKETS = 16
 
 
 def _drop_stale_table(spark, table_name: str) -> None:
-    """DROP TABLE IF EXISTS plus removal of the stale managed-table
-    LOCATION a previous session's in-memory catalog may have left behind
-    (saveAsTable refuses to reuse it: LOCATION_ALREADY_EXISTS). Handles
-    database-qualified names — a managed table in a non-default database
-    lives at <warehouse>/<db>.db/<table>, not <warehouse>/<table>."""
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    """Make ``saveAsTable(table_name)`` safe to run: drop the table if the
+    catalog knows it, else remove the stale managed-table LOCATION a
+    previous session's in-memory catalog may have left behind (saveAsTable
+    refuses to reuse it: LOCATION_ALREADY_EXISTS).
+
+    When the table IS in the catalog, DROP resolves the real location
+    itself — a managed drop deletes its directory, an EXTERNAL table's
+    data belongs to the user — so no filesystem surgery happens and a
+    same-named external directory is never touched. Only when the catalog
+    has no entry do we delete, and then only the DEFAULT managed location
+    under the warehouse dir, resolving the database qualifier (explicit
+    ``db.table``, else the session's current database) so a non-default
+    database cleans <warehouse>/<db>.db/<table>, not <warehouse>/<table>.
+    An external table registered at that warehouse path by a DIFFERENT
+    in-memory session is unknowable here; keeping external data outside
+    the warehouse's managed namespace is the catalog contract this
+    relies on."""
+    try:
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+        in_catalog = True
+    except Exception:
+        in_catalog = False
+    if in_catalog:
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        return
     parts = table_name.lower().split(".")
     # strip a leading catalog qualifier if present (spark_catalog.db.t)
-    if len(parts) >= 2 and parts[-2] != "default":
-        rel = f"{parts[-2]}.db/{parts[-1]}"
+    if len(parts) >= 2:
+        db, tbl = parts[-2], parts[-1]
     else:
-        rel = parts[-1]
+        db, tbl = spark.catalog.currentDatabase().lower(), parts[-1]
+    rel = tbl if db == "default" else f"{db}.db/{tbl}"
     jvm = spark._jvm
     wh = spark.conf.get("spark.sql.warehouse.dir")
     loc = jvm.org.apache.hadoop.fs.Path(wh, rel)
@@ -272,8 +292,13 @@ def incremental_embedding_pairs(
         .where(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
-    all_vecs = corpus_vectors.select(id_col, vec_col).unionByName(
-        delta.select(id_col, vec_col)
+    # a re-delivered delta batch can overlap the corpus; duplicated ids in
+    # the verify input would join each candidate pair multiple times and
+    # emit duplicate verified rows — dedup ids before the kernel
+    all_vecs = (
+        corpus_vectors.select(id_col, vec_col)
+        .unionByName(delta.select(id_col, vec_col))
+        .dropDuplicates([id_col])
     )
     return verify_cosine_pairs(cands, all_vecs, id_col, vec_col, threshold)
 

@@ -28,8 +28,10 @@ partitionings nor mergeable across separate jobs; exact percentile stays
 available where the reference semantics require it (rollup.py).
 
 Scale shape: both sketches are one hash-partitioned aggregation; the KMV
-bottom-k plans as TakeOrdered globally or a window rank per group; no
-driver-side data beyond the k-element summaries themselves.
+bottom-k plans as TakeOrdered globally or, per group, a salted two-level
+bottom-k (partial k-smallest per (group, salt) slice, bounded merge) so a
+hot group never funnels through one sorting task; no driver-side data
+beyond the k-element summaries themselves.
 """
 
 from __future__ import annotations
@@ -38,6 +40,29 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 KMV_HASH_SPACE = float(2**52)  # 13 hex chars of md5 -> [0, 2^52), exact in a double
+KMV_SALT_PARTS = 32  # parallelism of the per-group partial bottom-k
+
+
+def _grouped_bottom_k(
+    rows: DataFrame, group_cols: list[str], k: int, salt_parts: int = KMV_SALT_PARTS
+) -> DataFrame:
+    """Skew-safe per-group bottom-k over (group cols, ``_h``) rows whose
+    ``_h`` values are already distinct within each group.
+
+    A single ``row_number`` window over the group would sort ALL of a hot
+    group's hashes in one task — the single-task trap. Instead: salt on
+    ``xxhash64(_h)`` so each (group, salt) slice keeps its own k smallest
+    (the window sort spills, and each slice holds ~1/salt_parts of the
+    group), then one bounded final merge per group over at most
+    salt_parts*k surviving rows (the ``collect_list`` buffer is bounded
+    by construction, not by luck). Exact: the k smallest of the union are
+    all among the per-slice k smallest."""
+    salted = rows.withColumn("_salt", F.pmod(F.xxhash64("_h"), F.lit(salt_parts)))
+    w = Window.partitionBy(*group_cols, "_salt").orderBy("_h")
+    part = salted.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return part.groupBy(*group_cols).agg(
+        F.slice(F.sort_array(F.collect_list("_h")), 1, k).alias("sketch")
+    )
 
 
 def kmv_hash(key: Column) -> Column:
@@ -71,20 +96,17 @@ def kmv_sketch(
     (sorted array<long> of the <=k smallest distinct hashes) +
     ``n_retained`` + ``est_distinct``.
 
-    Plan: one distinct over (group, hash) — the only shuffle — then a
-    global TakeOrdered (no groups) or a per-group window rank; the
-    second pass runs on <=k rows per group.
+    Plan: one distinct over (group, hash), then a global TakeOrdered (no
+    groups) or the salted two-level bottom-k (``_grouped_bottom_k``) —
+    no task ever sorts a whole hot group, and the final per-group merge
+    touches at most salt_parts*k rows.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     h = kmv_hash(F.col(key_col))
     if group_cols:
         base = df.select(*group_cols, h.alias("_h")).distinct()
-        w = Window.partitionBy(*group_cols).orderBy("_h")
-        bott = base.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
-        sk = bott.groupBy(*group_cols).agg(
-            F.sort_array(F.collect_list("_h")).alias("sketch")
-        )
+        sk = _grouped_bottom_k(base, group_cols, k)
         out_keys = list(group_cols)
     else:
         base = df.select(h.alias("_h")).distinct()
@@ -106,11 +128,7 @@ def kmv_merge(sketches: DataFrame, k: int, group_cols: list[str] | None = None) 
     union (tested), which is what makes the summary reusable across jobs."""
     ex = sketches.select(*(group_cols or []), F.explode("sketch").alias("_h")).distinct()
     if group_cols:
-        w = Window.partitionBy(*group_cols).orderBy("_h")
-        bott = ex.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
-        sk = bott.groupBy(*group_cols).agg(
-            F.sort_array(F.collect_list("_h")).alias("sketch")
-        )
+        sk = _grouped_bottom_k(ex, group_cols, k)
     else:
         bott = ex.orderBy("_h").limit(k)
         sk = bott.agg(F.sort_array(F.collect_list("_h")).alias("sketch"))

@@ -172,8 +172,13 @@ def range_join_bucketed(
     ]
     b0 = F.floor(F.col(start_col) / bucket_width).cast("long")
     b1 = F.floor(F.col(end_col) / bucket_width).cast("long")
+    # null-safe: a NULL start/end must keep sequence()'s null-drop
+    # semantics (the row vanishes at explode), not trip assert_true —
+    # assert_true throws on NULL conditions, so OR the null cases in
     guard = F.assert_true(
-        b1 - b0 + 1 <= F.lit(max_buckets_per_interval),
+        F.col(start_col).isNull()
+        | F.col(end_col).isNull()
+        | (b1 - b0 + 1 <= F.lit(max_buckets_per_interval)),
         F.lit(
             f"an interval spans more than {max_buckets_per_interval} buckets "
             f"of width {bucket_width}; raise bucket_width or the cap"

@@ -400,7 +400,13 @@ def streaming_minhash_pairs(
     retract emitted pairs, so a bucket stops emitting once it holds
     ``max_bucket_size`` ids (state stays bounded; the saturation flag is
     kept so late arrivals stay suppressed). State per bucket is at most
-    cap ids + a bool."""
+    cap ids + a bool.
+
+    STRING IDS ONLY: the reader schema declares ``id_col`` as string (a
+    non-string parquet column fails at scan), and the kernel orients
+    pairs with Python str min/max to match the batch operator's
+    ``a.id < b.id`` — which only agrees with the batch orientation when
+    the id type IS string. Cast ids upstream if they are numeric."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -62,6 +62,36 @@ def test_kmv_per_group(spark):
     assert got == want  # all groups under-full -> exact
 
 
+def test_kmv_grouped_hot_group_is_salted_and_exact(spark):
+    """A hot group (one group holding ~all rows, overfull vs k) must (a)
+    still produce the exact bottom-k sketch — salting is a physical
+    re-arrangement, the k smallest of the union are among the per-slice
+    k smallest — and (b) plan the per-group sort as salted windows:
+    no Window partitioned on the group columns ALONE (the single-task
+    full-group sort the salt exists to avoid)."""
+    rows = [("hot", f"u{i}") for i in range(5000)] + [("cold", "x")]
+    df = spark.createDataFrame(rows, "g string, u string")
+    k = 32
+    sk = kmv_sketch(df, "u", k=k, group_cols=["g"])
+    got = {r["g"]: list(r["sketch"]) for r in sk.collect()}
+    from conflation_spark.operators.sketch import kmv_hash
+
+    hashes = sorted(
+        r["_h"]
+        for r in df.where(F.col("g") == "hot")
+        .select(kmv_hash(F.col("u")).alias("_h"))
+        .distinct()
+        .collect()
+    )
+    assert got["hot"] == hashes[:k]
+    assert len(got["cold"]) == 1
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    # every Window's partition spec must include the salt column
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "_salt" in line, line
+
+
 def test_kmv_rejects_tiny_k(spark):
     df = spark.createDataFrame([("a",)], "key string")
     with pytest.raises(ValueError, match="k must be"):

@@ -158,6 +158,27 @@ def test_range_join_bucket_cap_raises_lazily(spark):
         j.count()
 
 
+def test_range_join_null_interval_rows_drop_not_raise(spark):
+    """A NULL start/end interval must keep sequence()'s null-drop
+    semantics (the row vanishes), not trip the lazy assert_true guard —
+    assert_true throws on a NULL condition, so the guard is made
+    explicitly null-safe."""
+    from conflation_spark.operators.temporal import range_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, "u", 5.0)], "event_id long, user_id string, ts double"
+    )
+    right = spark.createDataFrame(
+        [("u", 0.0, 10.0, 1), ("u", None, 10.0, 2), ("u", 0.0, None, 3)],
+        "user_id string, start double, end double, win long",
+    )
+    j = range_join_bucketed(
+        left, right, ["user_id"], "ts", "start", "end",
+        bucket_width=4.0, right_cols=["win"], max_buckets_per_interval=100,
+    )
+    assert [r.rj_win for r in j.collect()] == [1]
+
+
 def test_range_join_scans_right_once(spark):
     """The lazy guard removed the eager count(): the physical plan must
     contain exactly one scan of the right side."""
