@@ -485,6 +485,38 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_ref", "width", "height", *q)
 
 
+def _q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode: the fixture's jpeg_blobs carry
+    genuine baseline JPEG bytes (pure-numpy T.81 codec, functions/jpeg.py)
+    and Spark decodes them through the SAME injectable-decoder seam the
+    PNG path uses (multimodal.decode_jpeg_image: marker parse, canonical
+    Huffman, dequant, batched IDCT, YCbCr). JPEG is lossy, so dims are
+    exact-gated while the 16-dim grid feature is tolerance-gated
+    (JPEG_FEAT_TOL vs source-pixel truth) — hash equality proves every
+    blob decoded with correct dimensions AND features within tolerance."""
+    from conflation_spark.operators.multimodal import (
+        JPEG_FEAT_TOL,
+        decode_jpeg_image,
+        extract_image_features,
+    )
+
+    blobs = spark.read.parquet(f"{_text_dir(sf_dir)}/jpeg_blobs.parquet")
+    feats = extract_image_features(blobs, decoder=decode_jpeg_image)
+    truth = blobs.select("media_ref", *[f"f{i}" for i in range(16)])
+    diffs = [
+        F.abs(F.col("feature")[i] - F.col(f"f{i}") / F.lit(1e6)) for i in range(16)
+    ]
+    return (
+        feats.join(truth, "media_ref")
+        .select(
+            "media_ref",
+            "width",
+            "height",
+            (F.greatest(*diffs) <= F.lit(JPEG_FEAT_TOL)).alias("feat_ok"),
+        )
+    )
+
+
 CHUNK_WINDOW, CHUNK_OVERLAP = 32, 8
 PACK_TARGET = 512
 
@@ -1003,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "media_metadata": _q_media_metadata,
         "image_features": _q_image_features,
+        "jpeg_features": _q_jpeg_features,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         "text_stats": _q_text_stats,
@@ -1451,6 +1484,13 @@ FROM b
 SELECT media_ref, true_width AS width, true_height AS height,
        {", ".join(f"f{i} AS f{i}" for i in range(16))}
 FROM read_parquet('{td}/media_blobs.parquet')
+""",
+        # jpeg: lossy decode — dims exact, features tolerance-gated
+        # Spark-side; the oracle expects every row to pass (feat_ok=TRUE)
+        "jpeg_features": f"""
+SELECT media_ref, true_width AS width, true_height AS height,
+       TRUE AS feat_ok
+FROM read_parquet('{td}/jpeg_blobs.parquet')
 """,
         # audio: same planted-truth design (Spark decodes the WAV bytes,
         # the oracle reads ground truth from the source samples)

@@ -37,6 +37,7 @@ SF_VEC = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 6000, "sf1": 20000}
 SF_MEDIA = {"sf0.001": 80, "sf0.01": 400, "sf0.1": 1600, "sf1": 6000}
 SF_AUDIO = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1200, "sf1": 4000}
 SF_VIDEO = {"sf0.001": 30, "sf0.01": 150, "sf0.1": 600, "sf1": 2000}
+SF_JPEG = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1200, "sf1": 4000}
 DIM = 64
 
 
@@ -200,6 +201,54 @@ def gen_media_blobs(out_dir: str, n: int, seed: int = 23) -> None:
     )
 
 
+def gen_jpeg_blobs(out_dir: str, n: int, seed: int = 37, quality: int = 90) -> None:
+    """Real baseline JPEG blobs + planted truth — the COMPRESSED-format
+    counterpart of ``gen_media_blobs``: content = genuine T.81 baseline
+    JFIF bytes (`functions/jpeg.py`, Annex K tables, 4:4:4), truth =
+    width / height plus the quantized 4x4 grid-mean feature of the
+    SOURCE pixels. JPEG is LOSSY: the decode-side feature matches the
+    truth within a tolerance (quantization + IDCT error), so the
+    `jpeg_features` oracle row gates `|decoded - truth| <= JPEG_FEAT_TOL`
+    rather than bit-equality. Pixels mirror the PNG fixture's gradient +
+    noise mix; ~60% RGB, rest greyscale; dims 8..72 px."""
+    from conflation_spark.functions.jpeg import encode_jpeg
+    from conflation_spark.functions.png import image_feature_grid, quantize_feature
+
+    rng = np.random.default_rng(seed)
+    refs, blobs, widths, heights = [], [], [], []
+    feats = np.zeros((n, 16), dtype=np.int64)
+    for i in range(n):
+        h = int(rng.integers(8, 73))
+        w = int(rng.integers(8, 73))
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (yy * 255 // max(h - 1, 1) + xx * 255 // max(w - 1, 1)) // 2
+        if rng.random() < 0.6:
+            chans = [
+                np.clip(base + rng.integers(-40, 41, (h, w)) + c * 30, 0, 255)
+                for c in range(3)
+            ]
+            arr = np.stack(chans, axis=2).astype(np.uint8)
+        else:
+            arr = np.clip(base + rng.integers(-40, 41, (h, w)), 0, 255).astype(np.uint8)
+        refs.append(f"j{i:06d}")
+        blobs.append(encode_jpeg(arr, quality=quality))
+        widths.append(w)
+        heights.append(h)
+        feats[i] = quantize_feature(image_feature_grid(arr))
+    cols = {
+        "media_ref": pa.array(refs, pa.string()),
+        "media_kind": pa.array(["image"] * n, pa.string()),
+        "content": pa.array(blobs, pa.binary()),
+        "true_width": pa.array(widths, pa.int32()),
+        "true_height": pa.array(heights, pa.int32()),
+    }
+    for j in range(16):
+        cols[f"f{j}"] = pa.array(feats[:, j].tolist(), pa.int64())
+    pq.write_table(
+        pa.table(cols), os.path.join(out_dir, "jpeg_blobs.parquet"), row_group_size=128
+    )
+
+
 def gen_audio_blobs(out_dir: str, n: int, seed: int = 29) -> None:
     """Real 16-bit PCM WAV blobs + planted truth — the audio analog of
     ``gen_media_blobs``: content = genuine RIFF/WAVE bytes (stdlib codec,
@@ -305,7 +354,7 @@ def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     if sf_name not in SF_TEXT:
         sf_name = "sf0.01"
     out = os.path.join(root, sf_name)
-    marker = os.path.join(out, "_SUCCESS_v7")
+    marker = os.path.join(out, "_SUCCESS_v8")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
@@ -314,6 +363,7 @@ def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     gen_media_blobs(out, SF_MEDIA[sf_name])
     gen_audio_blobs(out, SF_AUDIO[sf_name])
     gen_video_blobs(out, SF_VIDEO[sf_name])
+    gen_jpeg_blobs(out, SF_JPEG[sf_name])
     with open(marker, "w") as f:
         f.write("ok")
     return out

@@ -1,0 +1,561 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81 sequential DCT) — no
+PIL/libjpeg dependency.
+
+Real corpora are mostly JPEG, not PNG; this closes the compressed-image
+half of the multimodal seam (`operators/multimodal.py`): marker parsing
+(SOI/DQT/SOF0/DHT/SOS/DRI/EOI), canonical Huffman decoding (the spec's
+mincode/maxcode algorithm), dequantization, batched 8x8 inverse DCT, and
+JFIF YCbCr->RGB. Supported: 8-bit baseline (SOF0), 1 or 3 components,
+4:4:4 sampling (all factors 1x1), optional restart markers. Progressive
+(SOF2) and subsampled streams raise ValueError — honest limits, stated.
+
+The encoder exists so `datagen_text.gen_jpeg_blobs` can plant REAL
+JPEGs with per-row ground truth computed from the SOURCE pixels. Unlike
+PNG, JPEG is LOSSY: the decoded feature matches the planted truth only
+within a tolerance (the IDCT+quantization error), so the oracle row is a
+tolerance gate (`jpeg_feat_ok`), not a bit-equality — see
+`operators/multimodal.decode_jpeg_image` and the `jpeg_features` query.
+
+Self-consistency caveat (documented, not hidden): with no independent
+JPEG implementation in this container, a symmetric encoder/decoder bug
+could in principle cancel in round-trip tests. The transform core is
+therefore pinned INDEPENDENTLY: tests check the fast matrix DCT against
+the textbook DCT-II double sum and the zigzag table against the spec's
+published prefix, and all quantization/Huffman tables are the public
+Annex K constants byte-for-byte, so any misread of them produces garbage
+rather than a cancelling error.
+
+Reference analog: the reference stores Mapillary image ids and never
+decodes (/root/reference/conflation/trace_fetching/mapillary.py:41,448-456);
+decoding is the training-data capability added on top.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ITU-T T.81 Annex K.1 — example quantization tables (the de-facto
+# standard every encoder scales by quality)
+QT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+QT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+# zigzag scan: ZIGZAG[i] = raster index of the i-th coefficient in scan order
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 — typical Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """8x8 DCT-II basis: C[k, n] = a(k) cos((2n+1) k pi / 16); the forward
+    transform of a block X is C @ X @ C.T (orthonormal — the inverse is
+    the transpose pair). Tests pin this against the textbook double sum."""
+    n = np.arange(8)
+    k = n[:, None]
+    c = np.cos((2 * n[None, :] + 1) * k * np.pi / 16.0)
+    c *= np.sqrt(2.0 / 8.0)
+    c[0] *= np.sqrt(0.5)
+    return c
+
+
+_C = _dct_matrix()
+
+
+def dct2_blocks(blocks: np.ndarray) -> np.ndarray:
+    """Forward 2-D DCT over a (N, 8, 8) float array, batched."""
+    return np.einsum("ij,njk,lk->nil", _C, blocks, _C, optimize=True)
+
+
+def idct2_blocks(coefs: np.ndarray) -> np.ndarray:
+    """Inverse 2-D DCT over a (N, 8, 8) float array, batched."""
+    return np.einsum("ji,njk,kl->nil", _C, coefs, _C, optimize=True)
+
+
+def scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 5000/q below 50, 200-2q above; entries
+    clamped to [1, 255] (baseline requires 8-bit table values)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = (base * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32)
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    a = arr.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[vi]] = (code, length)
+            code += 1
+            vi += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            self._nbits -= 8
+            byte = (self._acc >> self._nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
+
+
+def _mag_bits(v: int, cat: int) -> int:
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def _encode_blocks(
+    writer: _BitWriter,
+    qcoefs: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    prev_dc: int,
+) -> int:
+    """Entropy-encode a run of zigzagged quantized blocks (N, 64) of one
+    component; returns the last DC value for the predictor chain."""
+    for blk in qcoefs:
+        diff = int(blk[0]) - prev_dc
+        prev_dc = int(blk[0])
+        cat = _category(diff)
+        code, ln = dc_codes[cat]
+        writer.write(code, ln)
+        if cat:
+            writer.write(_mag_bits(diff, cat), cat)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = int(nz[-1]) + 1 if nz.size else 0
+        for i in range(1, last + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                writer.write(code, ln)
+                run -= 16
+            cat = _category(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            writer.write(code, ln)
+            writer.write(_mag_bits(v, cat), cat)
+            run = 0
+        if last < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            writer.write(code, ln)
+    return prev_dc
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) -> (n_blocks, 8, 8) in raster block order, edge-padded."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    bh, bw = p.shape[0] // 8, p.shape[1] // 8
+    return p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 (h, w) grey or (h, w, 3) RGB -> baseline JFIF JPEG bytes
+    (4:4:4, Annex K quantization scaled by ``quality``, Annex K Huffman)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        ncomp = 1
+        planes = [arr.astype(np.float64)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ncomp = 3
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}; want (h,w) or (h,w,3)")
+    h, w = arr.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    qt = [scaled_qtable(QT_LUMA, quality), scaled_qtable(QT_CHROMA, quality)]
+    # quantized zigzag coefficients per component
+    qblocks = []
+    for ci in range(ncomp):
+        tq = qt[0] if ci == 0 else qt[1]
+        coefs = dct2_blocks(_to_blocks(planes[ci]) - 128.0)
+        q = np.round(coefs / tq[None, :, :]).astype(np.int32)
+        qblocks.append(q.reshape(-1, 64)[:, ZIGZAG])
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid in range(2 if ncomp == 3 else 1):
+        zz = qt[tid].reshape(64)[ZIGZAG].astype(np.uint8)
+        out += seg(0xFFDB, bytes([tid]) + zz.tobytes())
+    comp_spec = b"".join(
+        bytes([ci + 1, 0x11, 0 if ci == 0 else 1]) for ci in range(ncomp)
+    )
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + comp_spec)
+    tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if ncomp == 3:
+        tables += [
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for tc, bits, vals in tables:
+        out += seg(0xFFC4, bytes([tc]) + bytes(bits) + bytes(vals))
+    scan_spec = b"".join(
+        bytes([ci + 1, 0x00 if ci == 0 else 0x11]) for ci in range(ncomp)
+    )
+    out += seg(0xFFDA, bytes([ncomp]) + scan_spec + b"\x00\x3f\x00")
+    # interleaved MCUs: with 1x1 sampling an MCU is one block per component
+    writer = _BitWriter()
+    dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    prev = [0] * ncomp
+    n_blocks = qblocks[0].shape[0]
+    for bi in range(n_blocks):
+        for ci in range(ncomp):
+            dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+            prev[ci] = _encode_blocks(
+                writer, qblocks[ci][bi : bi + 1], dc, ac, prev[ci]
+            )
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _HuffTable:
+    """Canonical Huffman decoder state (T.81 F.2.2.3: MINCODE/MAXCODE/
+    VALPTR per code length) — O(length) per symbol, no bit-tree walk."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        vi = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = vi
+                self.mincode[length] = code
+                code += bits[length - 1]
+                vi += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._nbits = 0
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG: entropy data exhausted")
+            self._acc = self.data[self.pos]
+            self.pos += 1
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self) -> None:
+        self._nbits = 0
+
+    def decode_symbol(self, t: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if t.maxcode[length] >= 0 and code <= t.maxcode[length]:
+                return t.vals[t.valptr[length] + code - t.mincode[length]]
+        raise ValueError("corrupt JPEG: invalid Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> uint8 (h, w) grey or (h, w, 3) RGB.
+
+    Parses DQT/SOF0/DHT/SOS/DRI, Huffman-decodes the single interleaved
+    scan, dequantizes, batched IDCT, JFIF color conversion. Raises
+    ValueError on progressive streams, subsampling, bit depths != 8, or
+    corrupt entropy data."""
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        raise ValueError("decode_jpeg wants bytes")
+    data = bytes(data)
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[int, _HuffTable] = {}
+    restart_interval = 0
+    h = w = None
+    comps: list[tuple[int, int, int]] = []  # (comp_id, qtable_id, sampling)
+    scan_comps: list[tuple[int, int, int]] = []  # (comp_idx, dc_tid, ac_tid)
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / RSTn: no payload
+            pos += 2
+            continue
+        if marker == 0xD9:
+            raise ValueError("corrupt JPEG: EOI before SOS scan")
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + seg_len]
+        if len(payload) != seg_len - 2:
+            raise ValueError("truncated JPEG: segment body")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("unsupported JPEG: 16-bit quant table")
+                zz = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8)
+                if zz.size != 64:
+                    raise ValueError("corrupt JPEG: short quant table")
+                t = np.zeros(64, dtype=np.int32)
+                t[ZIGZAG] = zz
+                qtables[tq] = t.reshape(8, 8)
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG: precision {prec}")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG: {nc} components")
+            for ci in range(nc):
+                cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError(
+                        "unsupported JPEG: subsampled stream (need 4:4:4)"
+                    )
+                comps.append((cid, tq, samp))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                f"unsupported JPEG: SOF{marker - 0xC0} (baseline SOF0 only)"
+            )
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                tc_th = payload[p]
+                bits = list(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nv])
+                htables[tc_th] = _HuffTable(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            for si in range(ns):
+                cs, tids = payload[1 + 2 * si], payload[2 + 2 * si]
+                idx = next(
+                    (i for i, (cid, _, _) in enumerate(comps) if cid == cs), None
+                )
+                if idx is None:
+                    raise ValueError("corrupt JPEG: scan references unknown component")
+                scan_comps.append((idx, tids >> 4, tids & 0x0F))
+            scan_start = pos + 2 + seg_len
+            break
+        # APPn/COM/anything else: skip
+        pos += 2 + seg_len
+    if h is None or scan_start is None:
+        raise ValueError("truncated JPEG: missing SOF0 or SOS")
+    # collect entropy bytes, un-stuffing FF00 and stopping at a real marker
+    entropy = bytearray()
+    p = scan_start
+    while p < len(data):
+        b = data[p]
+        if b == 0xFF:
+            nxt = data[p + 1] if p + 1 < len(data) else None
+            if nxt == 0x00:
+                entropy.append(0xFF)
+                p += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                entropy.append(0xFF)  # keep RST marker inline for the reader
+                entropy.append(nxt)
+                p += 2
+                continue
+            break  # EOI or another marker ends the scan
+        entropy.append(b)
+        p += 1
+    nc = len(comps)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    n_mcu = bh * bw
+    coefs = [np.zeros((n_mcu, 64), dtype=np.float64) for _ in range(nc)]
+    reader = _BitReader(bytes(entropy))
+    prev_dc = [0] * nc
+    mcu = 0
+    while mcu < n_mcu:
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.byte_align()
+            if (
+                reader.pos + 1 < len(reader.data)
+                and reader.data[reader.pos] == 0xFF
+                and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
+            ):
+                reader.pos += 2
+            prev_dc = [0] * nc
+        for si, (ci, dc_tid, ac_tid) in enumerate(scan_comps):
+            dc_t = htables.get(0x00 | dc_tid)
+            ac_t = htables.get(0x10 | ac_tid)
+            if dc_t is None or ac_t is None:
+                raise ValueError("corrupt JPEG: scan uses undefined Huffman table")
+            cat = reader.decode_symbol(dc_t)
+            diff = _extend(reader.read_bits(cat), cat) if cat else 0
+            prev_dc[ci] += diff
+            blk = coefs[ci][mcu]
+            blk[0] = prev_dc[ci]
+            k = 1
+            while k < 64:
+                rs = reader.decode_symbol(ac_t)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("corrupt JPEG: AC index past 63")
+                blk[k] = _extend(reader.read_bits(s), s)
+                k += 1
+        mcu += 1
+    planes = []
+    for ci, (cid, tq, _) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError("corrupt JPEG: component uses undefined quant table")
+        dez = np.zeros((n_mcu, 64), dtype=np.float64)
+        dez[:, ZIGZAG] = coefs[ci]
+        blocks = idct2_blocks(dez.reshape(-1, 8, 8) * qtables[tq][None, :, :]) + 128.0
+        plane = (
+            blocks.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)[:h, :w]
+        )
+        planes.append(plane)
+    if nc == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

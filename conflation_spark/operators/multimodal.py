@@ -42,6 +42,13 @@ FRAME_SAMPLE_SCHEMA = "media_ref string, frame_idx int, frame_sha1 string"
 
 FEATURE_DIM = 16
 
+# max |decoded - source| per grid-mean feature element (features live in
+# [0, 1]) tolerated for a q90 baseline JPEG decode: quantization + IDCT
+# error averages out over a grid cell, measured well under 0.01 on the
+# fixture mix; 0.02 leaves 2x headroom while still failing loudly on any
+# real decoder defect (a broken unfilter/Huffman path is off by >> 0.02)
+JPEG_FEAT_TOL = 0.02
+
 
 def synth_blobs(spark, documents: DataFrame) -> DataFrame:
     """Deterministic fake blob table for every media_ref in the documents
@@ -71,6 +78,21 @@ def decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
     non-PNG/corrupt input — a pipeline batches bad blobs into a quarantine
     via try/except in its own kernel if it wants salvage semantics."""
     arr = decode_png(content)
+    h, w = arr.shape[:2]
+    return w, h, image_feature_grid(arr)
+
+
+def decode_jpeg_image(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Real COMPRESSED image decode: baseline JPEG bytes -> (width,
+    height, 16-dim grid-mean feature) via the pure-numpy T.81 decoder
+    (`functions/jpeg.py`). Plugs into ``extract_image_features`` through
+    the same ``decoder`` seam the PNG path uses — proving the seam takes
+    a real second format, not just the injected-fake tests. JPEG is
+    lossy, so features match planted source-pixel truth within a
+    tolerance, not bit-for-bit (see the `jpeg_features` query)."""
+    from conflation_spark.functions.jpeg import decode_jpeg
+
+    arr = decode_jpeg(content)
     h, w = arr.shape[:2]
     return w, h, image_feature_grid(arr)
 

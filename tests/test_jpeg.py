@@ -1,0 +1,136 @@
+"""Unit tests for the pure-numpy baseline JPEG codec (functions/jpeg.py) —
+no Spark. JPEG is lossy, so round-trip checks are tolerance-based; the
+transform core is pinned against INDEPENDENT formulations (textbook DCT-II
+double sum, the spec's published zigzag prefix) so a symmetric
+encoder/decoder bug cannot cancel silently."""
+
+import numpy as np
+import pytest
+
+from conflation_spark.functions.jpeg import (
+    ZIGZAG,
+    dct2_blocks,
+    decode_jpeg,
+    encode_jpeg,
+    idct2_blocks,
+    scaled_qtable,
+    QT_LUMA,
+)
+
+
+def test_dct_matches_textbook_double_sum():
+    """The fast matrix DCT must equal the DCT-II definition computed the
+    slow way — this pins the transform independently of the codec."""
+    rng = np.random.default_rng(0)
+    x = rng.random((3, 8, 8)) * 255 - 128
+    got = dct2_blocks(x)
+    ref = np.zeros_like(got)
+    for n in range(x.shape[0]):
+        for u in range(8):
+            for v in range(8):
+                au = np.sqrt(0.5) if u == 0 else 1.0
+                av = np.sqrt(0.5) if v == 0 else 1.0
+                s = 0.0
+                for i in range(8):
+                    for j in range(8):
+                        s += (
+                            x[n, i, j]
+                            * np.cos((2 * i + 1) * u * np.pi / 16)
+                            * np.cos((2 * j + 1) * v * np.pi / 16)
+                        )
+                ref[n, u, v] = 0.25 * au * av * s
+    assert np.abs(got - ref).max() < 1e-9
+    assert np.abs(idct2_blocks(got) - x).max() < 1e-9
+
+
+def test_zigzag_matches_spec_prefix():
+    """First 16 entries of the scan order as published in T.81 figure 5 —
+    a misdeclared table would break interop with every other decoder even
+    if encode/decode agreed internally."""
+    assert ZIGZAG[:16].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5]
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+
+
+def test_quality_scaling_monotone_and_clamped():
+    q10, q50, q90 = (scaled_qtable(QT_LUMA, q) for q in (10, 50, 90))
+    assert (q10 >= q50).all() and (q50 >= q90).all()
+    assert q90.min() >= 1 and q10.max() <= 255
+    assert (scaled_qtable(QT_LUMA, 50) == QT_LUMA).all()
+    with pytest.raises(ValueError, match="quality"):
+        scaled_qtable(QT_LUMA, 0)
+
+
+@pytest.mark.parametrize(
+    "shape", [(8, 8), (40, 56), (33, 47, 3), (7, 9), (64, 64, 3), (72, 11)]
+)
+def test_roundtrip_smooth_content_tight_error(shape):
+    """Gradient content (what the fixture plants): q90 round-trip error
+    must stay within a few code values per pixel."""
+    yy, xx = np.mgrid[0 : shape[0], 0 : shape[1]]
+    base = (yy * 255 // max(shape[0] - 1, 1) + xx * 255 // max(shape[1] - 1, 1)) // 2
+    if len(shape) == 3:
+        arr = np.stack(
+            [np.clip(base + c * 20, 0, 255) for c in range(3)], axis=2
+        ).astype(np.uint8)
+    else:
+        arr = base.astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(arr, quality=90))
+    assert dec.shape == arr.shape
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 6
+
+
+def test_roundtrip_noise_content_bounded_error():
+    """Pure noise is JPEG's worst case; q90 must still bound per-pixel
+    error well under the feature tolerance the oracle uses."""
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (48, 40, 3)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(arr, quality=90))
+    err = np.abs(dec.astype(int) - arr.astype(int))
+    assert err.mean() < 12 and err.max() < 80
+
+
+def test_decode_rejects_garbage_and_truncation():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"definitely not a jpeg")
+    arr = np.zeros((16, 16), dtype=np.uint8)
+    data = encode_jpeg(arr)
+    with pytest.raises(ValueError, match="truncated|corrupt|exhausted"):
+        decode_jpeg(data[:40])
+
+
+def test_decode_rejects_progressive_sof():
+    arr = np.zeros((8, 8), dtype=np.uint8)
+    data = bytearray(encode_jpeg(arr))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(data))
+
+
+def test_feature_tolerance_contract():
+    """The contract the jpeg_features oracle gates on: q90 grid-mean
+    feature of decoded pixels within JPEG_FEAT_TOL of the source-pixel
+    feature, over fixture-like gradient+noise images."""
+    from conflation_spark.functions.png import image_feature_grid
+    from conflation_spark.operators.multimodal import JPEG_FEAT_TOL, decode_jpeg_image
+
+    rng = np.random.default_rng(11)
+    for _ in range(6):
+        h, w = int(rng.integers(8, 73)), int(rng.integers(8, 73))
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (yy * 255 // max(h - 1, 1) + xx * 255 // max(w - 1, 1)) // 2
+        if rng.random() < 0.6:
+            arr = np.stack(
+                [
+                    np.clip(base + rng.integers(-40, 41, (h, w)) + c * 30, 0, 255)
+                    for c in range(3)
+                ],
+                axis=2,
+            ).astype(np.uint8)
+        else:
+            arr = np.clip(base + rng.integers(-40, 41, (h, w)), 0, 255).astype(
+                np.uint8
+            )
+        gw, gh, feat = decode_jpeg_image(encode_jpeg(arr, quality=90))
+        assert (gw, gh) == (w, h)
+        assert np.abs(feat - image_feature_grid(arr)).max() < JPEG_FEAT_TOL

@@ -113,9 +113,36 @@ def test_image_features_real_decode_matches_planted_truth(spark):
     assert ok.count() == n
 
 
+def test_jpeg_features_real_decode_within_tolerance_of_truth(spark):
+    """The COMPRESSED decode path end-to-end: the fixture's jpeg_blobs
+    carry genuine baseline JPEG bytes plus truth columns from the source
+    pixels; extract_image_features with the JPEG decoder must reproduce
+    width/height EXACTLY and the grid feature within JPEG_FEAT_TOL
+    (JPEG is lossy), for EVERY blob."""
+    d = ensure_text_fixture("sf0.001")
+    blobs = spark.read.parquet(f"{d}/jpeg_blobs.parquet")
+    feats = multimodal.extract_image_features(
+        blobs, decoder=multimodal.decode_jpeg_image
+    )
+    joined = feats.join(blobs, "media_ref")
+    n = blobs.count()
+    assert joined.count() == n
+    diffs = [
+        F.abs(F.col("feature")[i] - F.col(f"f{i}") / F.lit(1e6)) for i in range(16)
+    ]
+    ok = joined.where(
+        (F.col("width") == F.col("true_width"))
+        & (F.col("height") == F.col("true_height"))
+        & (F.greatest(*diffs) <= F.lit(multimodal.JPEG_FEAT_TOL))
+    )
+    assert ok.count() == n
+
+
 def test_multimodal_decode_raises_on_garbage():
     with pytest.raises(ValueError):
         multimodal.decode_image(b"not a png at all")
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_image(b"not a jpeg either")
 
 
 def test_multimodal_decoder_injectable(spark):
