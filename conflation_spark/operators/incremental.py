@@ -303,6 +303,223 @@ def incremental_embedding_pairs(
     return verify_cosine_pairs(cands, all_vecs, id_col, vec_col, threshold)
 
 
+IVF_DRIFT_FACTOR = 1.5  # delta p95 assignment distance vs corpus baseline
+IVF_DRIFT_BINS = 128
+
+
+def _ivf_assign_dist_udf(centroids):
+    """pandas_udf: vector -> struct(list_id, d2) — nearest centroid plus
+    its squared distance (the drift-detection signal), same explicit
+    (x - c)^2 arithmetic as ``similarity.ivf_assign_udf`` so assignments
+    agree bit-for-bit with the batch operator and the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from conflation_spark.functions.kernels import stack_vectors
+
+    # no type hints: Spark 4 infers UDF style from annotations and rejects
+    # the Series -> DataFrame (struct-returning) shape when annotated
+    def assign(col):
+        mat = stack_vectors(col)
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        li = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {
+                "list_id": li.astype("int64"),
+                "d2": d2[np.arange(len(li)), li],
+            }
+        )
+
+    return F.pandas_udf(assign, "list_id long, d2 double").asNondeterministic()
+
+
+def checkpoint_ivf_index(
+    df: DataFrame,
+    table_name: str,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    n_buckets: int = BAND_BUCKETS,
+) -> DataFrame:
+    """Persist an IVF index: (id, vec, list_id, d2) BUCKETED on
+    ``list_id`` — searching then READS ONLY THE PROBED BUCKETS (bucket
+    pruning on the list_id filter), and folding a delta appends without
+    touching corpus files. Alongside it: ``<table>_centroids`` (the
+    trained centroids, so delta assignment and probing reuse the exact
+    floats) and ``<table>_stats`` (the corpus's exact p95 assignment
+    distance — the drift-detection baseline).
+
+    The index-once/search-many contract is the point at scale: the
+    corpus matmul+argmin runs exactly once here; ``incremental_ivf_assign``
+    touches only deltas and ``incremental_ivf_topk`` never re-assigns."""
+    spark = df.sparkSession
+    for t in (table_name, f"{table_name}_centroids", f"{table_name}_stats"):
+        _drop_stale_table(spark, t)
+    assign = _ivf_assign_dist_udf(centroids)
+    idx = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("_a", assign(F.col("vec")))
+        .repartition("id")  # UDF exchange barrier (CLAUDE.md rule 8)
+        .select("id", "vec", F.col("_a.list_id").alias("list_id"), F.col("_a.d2").alias("d2"))
+    )
+    (
+        idx.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, "list_id")
+        .sortBy("list_id")
+        .saveAsTable(table_name)
+    )
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(cent_rows, "list_id long, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").saveAsTable(f"{table_name}_centroids")
+    p95 = (
+        spark.table(table_name)
+        .agg(F.expr("percentile(d2, 0.95)").alias("p"))
+        .collect()[0]["p"]
+    )
+    spark.createDataFrame(
+        [("d2_p95", float(p95))], "metric string, value double"
+    ).coalesce(1).write.mode("overwrite").saveAsTable(f"{table_name}_stats")
+    return spark.table(table_name)
+
+
+def load_ivf_centroids(spark, table_name: str):
+    """Centroids back from the checkpoint, row-ordered by list_id — the
+    exact float64s the index was assigned with."""
+    import numpy as np
+
+    rows = spark.table(f"{table_name}_centroids").orderBy("list_id").collect()
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def incremental_ivf_assign(
+    spark,
+    table_name: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    append: bool = True,
+) -> DataFrame:
+    """Assign ONLY the delta against the checkpointed centroids (zero
+    corpus compute) and optionally fold it into the index table
+    (bucketed append). Returns the delta assignment (id, vec, list_id,
+    d2) — bit-equal to what a full rebuild at the same centroids would
+    give those rows (tested)."""
+    centroids = load_ivf_centroids(spark, table_name)
+    assign = _ivf_assign_dist_udf(centroids)
+    d = (
+        delta.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("_a", assign(F.col("vec")))
+        .repartition("id")
+        .select("id", "vec", F.col("_a.list_id").alias("list_id"), F.col("_a.d2").alias("d2"))
+    )
+    if append:
+        n_buckets = BAND_BUCKETS
+        (
+            d.write.format("parquet")
+            .mode("append")
+            .bucketBy(n_buckets, "list_id")
+            .sortBy("list_id")
+            .saveAsTable(table_name)
+        )
+        return spark.table(table_name)
+    return d
+
+
+def ivf_drift_check(
+    spark,
+    table_name: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    factor: float = IVF_DRIFT_FACTOR,
+    n_bins: int = IVF_DRIFT_BINS,
+) -> dict:
+    """Centroid-drift detector: if the delta's p95 assignment distance
+    exceeds ``factor`` x the corpus baseline, the centroids no longer
+    describe the incoming distribution — signal a re-train. The delta
+    quantile comes from the MERGEABLE fixed-grid histogram sketch
+    (`operators/sketch.py`) on [0, 4 x corpus_p95), so daily deltas can
+    also be sketched once and merged across days; error <= one bin width
+    (~3% of the baseline at 128 bins), far below any sane ``factor``.
+    Returns {"corpus_p95", "delta_p95", "retrain"}."""
+    from conflation_spark.operators.sketch import histogram_quantile, quantile_histogram
+
+    base = {
+        r["metric"]: r["value"] for r in spark.table(f"{table_name}_stats").collect()
+    }
+    corpus_p95 = base["d2_p95"]
+    centroids = load_ivf_centroids(spark, table_name)
+    assign = _ivf_assign_dist_udf(centroids)
+    d = (
+        delta.select(F.col(vec_col).alias("vec"))
+        .withColumn("_a", assign(F.col("vec")))
+        .select(F.col("_a.d2").alias("d2"))
+    )
+    hi = max(4.0 * corpus_p95, 1e-12)
+    hist = quantile_histogram(d, "d2", 0.0, hi, n_bins)
+    q = histogram_quantile(hist, 0.95, 0.0, hi, n_bins).collect()
+    delta_p95 = float(q[0]["q_value"]) if q else 0.0
+    return {
+        "corpus_p95": float(corpus_p95),
+        "delta_p95": delta_p95,
+        "retrain": delta_p95 > factor * corpus_p95,
+    }
+
+
+def incremental_ivf_topk(
+    spark,
+    table_name: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """ANN search over the CHECKPOINTED index: probe lists are computed
+    driver-side from the stored centroids over the bounded query set
+    (same enforced contract as ``similarity.brute_force_topk``), and the
+    index scan is filtered to exactly the probed list_ids — with the
+    table bucketed on list_id that is a bucket-pruned scan (only probed
+    buckets are READ, plan-asserted in tests). No corpus re-assignment,
+    no corpus shuffle: broadcast probes -> bucketed scan -> vectorized
+    cosine kernel -> top-k window. Same output contract as
+    ``similarity.ivf_topk`` and bit-equal to it at the same centroids
+    (tested)."""
+    import numpy as np
+
+    from conflation_spark.operators.similarity import (
+        _collect_query_matrix,
+        _cosine_pairs_kernel,
+        _topk_window,
+        TOPK_SCHEMA,
+    )
+
+    centroids = load_ivf_centroids(spark, table_name)
+    qids, qmat, _ = _collect_query_matrix(queries, query_id_col, vec_col)
+    d2 = ((qmat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+    order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+    probe_rows = [
+        (str(qids[i]), [float(x) for x in qmat[i]], int(li))
+        for i in range(len(qids))
+        for li in order[i]
+    ]
+    qp = spark.createDataFrame(
+        probe_rows, "query_id string, qvec array<double>, list_id long"
+    )
+    lists = sorted({int(li) for row in order for li in row})
+    idx = spark.table(table_name).where(F.col("list_id").isin(lists))
+    joined = (
+        F.broadcast(qp)
+        .join(idx, "list_id")
+        .where(F.col("query_id") != F.col("id"))
+        .select("query_id", "qvec", F.col("id").alias("neighbor_id"), F.col("vec").alias("evec"))
+    )
+    scored = joined.mapInPandas(_cosine_pairs_kernel, schema=TOPK_SCHEMA)
+    return _topk_window(scored, k)
+
+
 def incremental_components(
     new_pairs: DataFrame,
     prior_labels: DataFrame,

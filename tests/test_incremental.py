@@ -234,3 +234,75 @@ def test_incremental_embedding_pairs_equal_batch(spark):
         )._jdf.queryExecution().executedPlan().toString()
     )
     assert "Bucketed: true" in plan
+
+
+def test_incremental_ivf_index_assign_drift_and_search(spark):
+    """The IVF incremental story end-to-end:
+    1. delta assignment against checkpointed centroids is bit-equal to a
+       full rebuild's assignment of those rows;
+    2. search over the folded index equals the batch ivf_topk at the same
+       centroids, and READS ONLY PROBED BUCKETS (bucket pruning asserted);
+    3. an in-distribution delta does not trigger a re-train, a shifted
+       one does."""
+    import numpy as np
+
+    from conflation_spark.operators.incremental import (
+        checkpoint_ivf_index,
+        incremental_ivf_assign,
+        incremental_ivf_topk,
+        ivf_drift_check,
+        load_ivf_centroids,
+    )
+    from conflation_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    d = ensure_text_fixture("sf0.001")
+    v = spark.read.parquet(f"{d}/vectors.parquet").select("vec_id", "vec")
+    corpus = v.where(F.col("vec_id") < "v000200")
+    delta = v.where(F.col("vec_id") >= "v000200")
+    cents = train_ivf_centroids(corpus, n_lists=16, id_col="vec_id", vec_col="vec")
+    checkpoint_ivf_index(corpus, "test_ivf_idx", cents, "vec_id", "vec")
+    # round-trip centroids are the exact floats
+    assert np.array_equal(load_ivf_centroids(spark, "test_ivf_idx"), cents)
+
+    # 1. delta assignment == full rebuild at the same centroids
+    got_d = incremental_ivf_assign(
+        spark, "test_ivf_idx", delta, "vec_id", "vec", append=False
+    )
+    from conflation_spark.operators.similarity import ivf_assign_udf
+
+    want = delta.select(
+        F.col("vec_id").alias("id"), ivf_assign_udf(cents)(F.col("vec")).alias("list_id")
+    )
+    got_map = {r["id"]: r["list_id"] for r in got_d.collect()}
+    want_map = {r["id"]: r["list_id"] for r in want.collect()}
+    assert got_map == want_map and got_map
+
+    # 2. fold the delta in; search == batch ivf_topk at the same centroids
+    incremental_ivf_assign(spark, "test_ivf_idx", delta, "vec_id", "vec", append=True)
+    assert spark.table("test_ivf_idx").count() == v.count()
+    q = v.orderBy("vec_id").limit(10).selectExpr("vec_id as query_id", "vec")
+    inc = incremental_ivf_topk(spark, "test_ivf_idx", q, k=5, n_probe=4)
+    batch = ivf_topk(
+        v, q, k=5, n_probe=4, id_col="vec_id", vec_col="vec", centroids=cents
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, inc.collect()), key=lambda t: (t[0], t[2])) == sorted(
+        map(tuple, batch.collect()), key=lambda t: (t[0], t[2])
+    )
+    # bucket pruning: the index scan reads a strict subset of buckets
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2)), m.group(0)
+
+    # 3. drift: in-distribution delta is quiet, a shifted delta triggers
+    quiet = ivf_drift_check(spark, "test_ivf_idx", delta, "vec_id", "vec")
+    assert not quiet["retrain"], quiet
+    shifted = delta.select(
+        "vec_id", F.transform("vec", lambda x: x * 5.0 + 7.0).alias("vec")
+    )
+    loud = ivf_drift_check(spark, "test_ivf_idx", shifted, "vec_id", "vec")
+    assert loud["retrain"] and loud["delta_p95"] > loud["corpus_p95"], loud
