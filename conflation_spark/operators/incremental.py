@@ -527,17 +527,48 @@ def incremental_components(
     label_col: str = "cluster_id",
     max_iter: int = 25,
 ) -> DataFrame:
-    """Fold new pairs into a prior (id, cluster_id) assignment: run CC on
-    the prior labels' star edges UNION the new pairs. Exactly equal to
-    from-scratch CC over (old pairs UNION new pairs) because a label
-    table generates the same connected components as the pair graph it
-    summarized. Returns labels for every id touched by either input;
-    callers keep untouched singletons as-is (see ``incremental_dedup``)."""
-    stars = prior_labels.where(F.col(id_col) != F.col(label_col)).select(
-        F.col(id_col).alias("id_a"), F.col(label_col).alias("id_b")
+    """Fold new pairs into a prior (id, cluster_id) assignment on the
+    CONTRACTED graph: each endpoint of a new pair is relabeled to its
+    prior cluster representative (unseen ids represent themselves), CC
+    runs over those contracted pairs — O(|new pairs|) work regardless of
+    corpus size — and the merged representative propagates back to the
+    members of touched clusters with one broadcast join. Exactly equal
+    to from-scratch CC over (old pairs UNION new pairs): contracting a
+    cluster to its representative preserves components, and because a
+    representative IS its cluster's minimum id, the contracted
+    component's minimum is the global minimum of the merged membership.
+
+    Scale shape (the earlier design ran CC over corpus-wide star edges —
+    a full-corpus shuffle per round, per delta): the corpus label table
+    is now only SCANNED (relabel join + member propagation, both with
+    the tiny side broadcastable), never iterated over; the CC loop's
+    shuffles touch contracted pairs only, and its round count is the
+    contracted graph's diameter, independent of the corpus.
+
+    Returns labels for every id in a touched cluster or a new pair;
+    callers keep untouched ids as-is (see ``incremental_dedup``)."""
+    pl = prior_labels.select(F.col(id_col).alias("id"), F.col(label_col).alias("lbl"))
+    la = pl.select(F.col("id").alias("id_a"), F.col("lbl").alias("_la"))
+    lb = pl.select(F.col("id").alias("id_b"), F.col("lbl").alias("_lb"))
+    contracted = (
+        new_pairs.select("id_a", "id_b")
+        .join(la, "id_a", "left")
+        .join(lb, "id_b", "left")
+        .select(
+            F.coalesce(F.col("_la"), F.col("id_a")).alias("id_a"),
+            F.coalesce(F.col("_lb"), F.col("id_b")).alias("id_b"),
+        )
     )
-    edges = new_pairs.select("id_a", "id_b").unionByName(stars)
-    return connected_components(edges, "id_a", "id_b", max_iter=max_iter)
+    cc = connected_components(contracted, "id_a", "id_b", max_iter=max_iter)
+    # propagate merged representatives to every member of a touched
+    # cluster (cc is small — one broadcastable join against the corpus
+    # labels); new ids outside the prior table carry their own cc row
+    merged = cc.select(F.col("id").alias("lbl"), F.col("cluster_id").alias("_new"))
+    members = pl.join(merged, "lbl").select(
+        "id", F.col("_new").alias("cluster_id")
+    )
+    new_only = cc.join(pl, "id", "left_anti")
+    return members.unionByName(new_only)
 
 
 def incremental_dedup(
