@@ -210,7 +210,9 @@ def gen_jpeg_blobs(out_dir: str, n: int, seed: int = 37, quality: int = 90) -> N
     truth within a tolerance (quantization + IDCT error), so the
     `jpeg_features` oracle row gates `|decoded - truth| <= JPEG_FEAT_TOL`
     rather than bit-equality. Pixels mirror the PNG fixture's gradient +
-    noise mix; ~60% RGB, rest greyscale; dims 8..72 px."""
+    noise mix; ~60% RGB (half of them 4:2:0-subsampled — the dominant
+    real-world layout — exercising the MCU-interleaved decode), rest
+    greyscale; dims 8..72 px."""
     from conflation_spark.functions.jpeg import encode_jpeg
     from conflation_spark.functions.png import image_feature_grid, quantize_feature
 
@@ -231,7 +233,8 @@ def gen_jpeg_blobs(out_dir: str, n: int, seed: int = 37, quality: int = 90) -> N
         else:
             arr = np.clip(base + rng.integers(-40, 41, (h, w)), 0, 255).astype(np.uint8)
         refs.append(f"j{i:06d}")
-        blobs.append(encode_jpeg(arr, quality=quality))
+        sub = "420" if arr.ndim == 3 and rng.random() < 0.5 else "444"
+        blobs.append(encode_jpeg(arr, quality=quality, subsampling=sub))
         widths.append(w)
         heights.append(h)
         feats[i] = quantize_feature(image_feature_grid(arr))
@@ -354,7 +357,7 @@ def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     if sf_name not in SF_TEXT:
         sf_name = "sf0.01"
     out = os.path.join(root, sf_name)
-    marker = os.path.join(out, "_SUCCESS_v8")
+    marker = os.path.join(out, "_SUCCESS_v9")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)

@@ -6,8 +6,9 @@ half of the multimodal seam (`operators/multimodal.py`): marker parsing
 (SOI/DQT/SOF0/DHT/SOS/DRI/EOI), canonical Huffman decoding (the spec's
 mincode/maxcode algorithm), dequantization, batched 8x8 inverse DCT, and
 JFIF YCbCr->RGB. Supported: 8-bit baseline (SOF0), 1 or 3 components,
-4:4:4 sampling (all factors 1x1), optional restart markers. Progressive
-(SOF2) and subsampled streams raise ValueError — honest limits, stated.
+sampling factors 1/2/4 per axis (covers 4:4:4, 4:2:0, 4:2:2 — chroma
+upsampled by replication), optional restart markers. Progressive (SOF2)
+streams raise ValueError — an honest limit, stated.
 
 The encoder exists so `datagen_text.gen_jpeg_blobs` can plant REAL
 JPEGs with per-row ground truth computed from the SOURCE pixels. Unlike
@@ -255,18 +256,27 @@ def _encode_blocks(
     return prev_dc
 
 
-def _to_blocks(plane: np.ndarray) -> np.ndarray:
-    """(H, W) -> (n_blocks, 8, 8) in raster block order, edge-padded."""
+def _to_block_grid(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """(H, W) -> (bh, bw, 8, 8) block grid, edge-padded to bh*8 x bw*8."""
     h, w = plane.shape
-    ph, pw = -h % 8, -w % 8
-    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
-    bh, bw = p.shape[0] // 8, p.shape[1] // 8
-    return p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    p = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    return p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 mean chroma downsample (edge-padded to even dims first)."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
     """uint8 (h, w) grey or (h, w, 3) RGB -> baseline JFIF JPEG bytes
-    (4:4:4, Annex K quantization scaled by ``quality``, Annex K Huffman)."""
+    (Annex K quantization scaled by ``quality``, Annex K Huffman).
+    ``subsampling``: "444" (no chroma subsampling) or "420" (2x2 luma
+    sampling, the dominant real-world layout; grey input ignores it)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         ncomp = 1
@@ -280,14 +290,26 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     h, w = arr.shape[:2]
     if h < 1 or w < 1:
         raise ValueError("empty image")
+    sub420 = subsampling == "420" and ncomp == 3
+    # (h_i, v_i) sampling factors per component
+    samp = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * ncomp
+    if sub420:
+        planes = [planes[0], _downsample2(planes[1]), _downsample2(planes[2])]
+    hmax = max(s[0] for s in samp[:ncomp])
+    vmax = max(s[1] for s in samp[:ncomp])
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     qt = [scaled_qtable(QT_LUMA, quality), scaled_qtable(QT_CHROMA, quality)]
-    # quantized zigzag coefficients per component
-    qblocks = []
+    # quantized zigzag coefficient grids per component: (bh_i, bw_i, 64)
+    qgrids = []
     for ci in range(ncomp):
+        hi, vi = samp[ci]
+        bh, bw = mcuy * vi, mcux * hi
         tq = qt[0] if ci == 0 else qt[1]
-        coefs = dct2_blocks(_to_blocks(planes[ci]) - 128.0)
+        blocks = _to_block_grid(planes[ci], bh, bw).reshape(-1, 8, 8)
+        coefs = dct2_blocks(blocks - 128.0)
         q = np.round(coefs / tq[None, :, :]).astype(np.int32)
-        qblocks.append(q.reshape(-1, 64)[:, ZIGZAG])
+        qgrids.append(q.reshape(bh, bw, 64)[:, :, ZIGZAG])
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -298,7 +320,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
         zz = qt[tid].reshape(64)[ZIGZAG].astype(np.uint8)
         out += seg(0xFFDB, bytes([tid]) + zz.tobytes())
     comp_spec = b"".join(
-        bytes([ci + 1, 0x11, 0 if ci == 0 else 1]) for ci in range(ncomp)
+        bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1])
+        for ci in range(ncomp)
     )
     out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + comp_spec)
     tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
@@ -313,20 +336,25 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
         bytes([ci + 1, 0x00 if ci == 0 else 0x11]) for ci in range(ncomp)
     )
     out += seg(0xFFDA, bytes([ncomp]) + scan_spec + b"\x00\x3f\x00")
-    # interleaved MCUs: with 1x1 sampling an MCU is one block per component
+    # interleaved MCUs: per MCU each component contributes its v_i x h_i
+    # blocks in raster order (T.81 A.2.3)
     writer = _BitWriter()
     dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
     prev = [0] * ncomp
-    n_blocks = qblocks[0].shape[0]
-    for bi in range(n_blocks):
-        for ci in range(ncomp):
-            dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-            prev[ci] = _encode_blocks(
-                writer, qblocks[ci][bi : bi + 1], dc, ac, prev[ci]
-            )
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = qgrids[ci][my * vi + by, mx * hi + bx]
+                        prev[ci] = _encode_blocks(
+                            writer, blk[None, :], dc, ac, prev[ci]
+                        )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -396,9 +424,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG bytes -> uint8 (h, w) grey or (h, w, 3) RGB.
 
     Parses DQT/SOF0/DHT/SOS/DRI, Huffman-decodes the single interleaved
-    scan, dequantizes, batched IDCT, JFIF color conversion. Raises
-    ValueError on progressive streams, subsampling, bit depths != 8, or
-    corrupt entropy data."""
+    scan (general sampling factors: per MCU each component contributes
+    its v_i x h_i blocks), dequantizes, batched IDCT, replication chroma
+    upsample, JFIF color conversion. Raises ValueError on progressive
+    streams, bit depths != 8, or corrupt entropy data."""
     if not isinstance(data, (bytes, bytearray, memoryview)):
         raise ValueError("decode_jpeg wants bytes")
     data = bytes(data)
@@ -446,11 +475,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported JPEG: {nc} components")
             for ci in range(nc):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
                     raise ValueError(
-                        "unsupported JPEG: subsampled stream (need 4:4:4)"
+                        f"unsupported JPEG: sampling factors {hi}x{vi}"
                     )
-                comps.append((cid, tq, samp))
+                comps.append((cid, tq, (hi, vi)))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
                 f"unsupported JPEG: SOF{marker - 0xC0} (baseline SOF0 only)"
@@ -502,9 +532,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         entropy.append(b)
         p += 1
     nc = len(comps)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    n_mcu = bh * bw
-    coefs = [np.zeros((n_mcu, 64), dtype=np.float64) for _ in range(nc)]
+    hmax = max(s[0] for (_, _, s) in comps)
+    vmax = max(s[1] for (_, _, s) in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+    # per-component zigzag coefficient grids (bh_i, bw_i, 64)
+    grids = [
+        np.zeros((mcuy * s[1], mcux * s[0], 64), dtype=np.float64)
+        for (_, _, s) in comps
+    ]
     reader = _BitReader(bytes(entropy))
     prev_dc = [0] * nc
     mcu = 0
@@ -518,44 +555,56 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ):
                 reader.pos += 2
             prev_dc = [0] * nc
+        my, mx = divmod(mcu, mcux)
         for si, (ci, dc_tid, ac_tid) in enumerate(scan_comps):
             dc_t = htables.get(0x00 | dc_tid)
             ac_t = htables.get(0x10 | ac_tid)
             if dc_t is None or ac_t is None:
                 raise ValueError("corrupt JPEG: scan uses undefined Huffman table")
-            cat = reader.decode_symbol(dc_t)
-            diff = _extend(reader.read_bits(cat), cat) if cat else 0
-            prev_dc[ci] += diff
-            blk = coefs[ci][mcu]
-            blk[0] = prev_dc[ci]
-            k = 1
-            while k < 64:
-                rs = reader.decode_symbol(ac_t)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("corrupt JPEG: AC index past 63")
-                blk[k] = _extend(reader.read_bits(s), s)
-                k += 1
+            hi, vi = comps[ci][2]
+            for by in range(vi):
+                for bx in range(hi):
+                    cat = reader.decode_symbol(dc_t)
+                    diff = _extend(reader.read_bits(cat), cat) if cat else 0
+                    prev_dc[ci] += diff
+                    blk = grids[ci][my * vi + by, mx * hi + bx]
+                    blk[0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_symbol(ac_t)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("corrupt JPEG: AC index past 63")
+                        blk[k] = _extend(reader.read_bits(s), s)
+                        k += 1
         mcu += 1
     planes = []
-    for ci, (cid, tq, _) in enumerate(comps):
+    for ci, (cid, tq, (hi, vi)) in enumerate(comps):
         if tq not in qtables:
             raise ValueError("corrupt JPEG: component uses undefined quant table")
-        dez = np.zeros((n_mcu, 64), dtype=np.float64)
-        dez[:, ZIGZAG] = coefs[ci]
+        bh, bw = grids[ci].shape[:2]
+        dez = np.zeros((bh * bw, 64), dtype=np.float64)
+        dez[:, ZIGZAG] = grids[ci].reshape(-1, 64)
         blocks = idct2_blocks(dez.reshape(-1, 8, 8) * qtables[tq][None, :, :]) + 128.0
         plane = (
             blocks.reshape(bh, bw, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw * 8)[:h, :w]
+            .reshape(bh * 8, bw * 8)
         )
-        planes.append(plane)
+        # crop to the component's own dims, then replicate up to full res
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+        plane = plane[:ch, :cw]
+        if vi != vmax or hi != hmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        planes.append(plane[:h, :w])
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -60,12 +60,7 @@ def _drop_stale_table(spark, table_name: str) -> None:
     in-memory session is unknowable here; keeping external data outside
     the warehouse's managed namespace is the catalog contract this
     relies on."""
-    try:
-        spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
-        in_catalog = True
-    except Exception:
-        in_catalog = False
-    if in_catalog:
+    if spark.catalog.tableExists(table_name):
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
         return
     parts = table_name.lower().split(".")

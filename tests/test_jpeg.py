@@ -79,6 +79,33 @@ def test_roundtrip_smooth_content_tight_error(shape):
     assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 6
 
 
+@pytest.mark.parametrize("shape", [(40, 56, 3), (33, 47, 3), (9, 17, 3)])
+def test_roundtrip_420_subsampled(shape):
+    """4:2:0 (the dominant real-world layout): interleaved MCUs carry
+    2x2 luma blocks + one chroma block each; round-trip error stays a
+    few code values above 4:4:4 (chroma is 2x2-averaged), and odd dims
+    exercise the padded MCU grid + crop path."""
+    rng = np.random.default_rng(13)
+    yy, xx = np.mgrid[0 : shape[0], 0 : shape[1]]
+    base = (yy * 255 // max(shape[0] - 1, 1) + xx * 255 // max(shape[1] - 1, 1)) // 2
+    arr = np.stack(
+        [
+            np.clip(base + c * 20 + rng.integers(-20, 21, shape[:2]), 0, 255)
+            for c in range(3)
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    enc444 = encode_jpeg(arr, 90, subsampling="444")
+    enc420 = encode_jpeg(arr, 90, subsampling="420")
+    assert len(enc420) < len(enc444)  # subsampling actually engaged
+    dec = decode_jpeg(enc420)
+    assert dec.shape == arr.shape
+    err = np.abs(dec.astype(int) - arr.astype(int))
+    assert err.mean() < 12 and err.max() < 80
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(arr, 90, subsampling="422")
+
+
 def test_roundtrip_noise_content_bounded_error():
     """Pure noise is JPEG's worst case; q90 must still bound per-pixel
     error well under the feature tolerance the oracle uses."""
