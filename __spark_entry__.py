@@ -349,6 +349,25 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME clustering forced through the diameter-independent
+    large-star/small-star engine (operators/cluster.py,
+    connected_components_star) — its fixpoint is provably the same
+    min-labeled components, so the oracle is the identical recursive
+    CTE. Gating both engines separately means an engine-specific defect
+    cannot hide behind the auto dispatch picking the other one."""
+    from conflation_spark.operators.cluster import dedup_clusters
+    from conflation_spark.operators.dedup import ngram_jaccard_pairs
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    pairs = ngram_jaccard_pairs(
+        td, "text_id", "text", 3, 0.8, max_doc_freq=NGRAM_MAX_DF
+    )
+    return dedup_clusters(td, pairs, id_col="text_id", algorithm="star").select(
+        F.col("text_id").alias("doc_id"), "cluster_id", "keep"
+    )
+
+
 # corpus/delta split point for the incremental-dedup query (ids are
 # t000000..; the split puts ~60% in the corpus, the rest in the delta)
 INCR_SPLIT = "t001200"
@@ -1068,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_verified": _q_minhash_verified,
         "simhash_pairs": _q_simhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
         "incremental_dedup_clusters": _q_incremental_dedup,
         "bm25_topk": _q_bm25_topk,
         "embedding_cosine_pairs": _q_cosine_neardup,
@@ -1234,7 +1254,7 @@ FROM sc QUALIFY rank <= 10
             f"THEN 1 ELSE 0 END"
         )
     pip_sum = " + ".join(pip_edges)
-    return {
+    sqls = {
         "ann_ivf_topk": ivf_sql,
         # incremental IVF: end state == full rebuild at fixed centroids,
         # so the oracle is the same assignment/probe SQL with the
@@ -2106,3 +2126,7 @@ WHERE l_shipdate <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
     }
+    # the star-engine twin runs the same clustering through
+    # connected_components_star; identical fixpoint, identical oracle
+    sqls["dedup_clusters_star"] = sqls["dedup_clusters"]
+    return sqls
