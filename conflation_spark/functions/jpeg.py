@@ -444,6 +444,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        if data[pos + 1] == 0xFF:  # legal fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         marker = data[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / RSTn: no payload
             pos += 2
@@ -498,6 +501,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS
             ns = payload[0]
+            if ns != len(comps):
+                # a multi-scan (non-interleaved) baseline file would need
+                # per-scan decoding; decoding just the first scan would
+                # SILENTLY return wrong pixels — refuse loudly instead
+                raise ValueError(
+                    f"unsupported JPEG: scan covers {ns} of {len(comps)} "
+                    "components (multi-scan non-interleaved stream)"
+                )
             for si in range(ns):
                 cs, tids = payload[1 + 2 * si], payload[2 + 2 * si]
                 idx = next(

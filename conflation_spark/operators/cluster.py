@@ -127,6 +127,8 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()  # carried across rounds: ss.count() of round k
+    # IS edges.count() of round k+1 — recounting would waste a job/round
     for rounds in range(1, max_iter + 1):
         # large-star: symmetrize, take each node's min-including-self,
         # point every strictly larger neighbor at it
@@ -155,12 +157,11 @@ def connected_components_star(
             .localCheckpoint(eager=True)
         )
         # exact convergence: the round left the edge set unchanged
-        converged = (
-            ss.count() == edges.count()
-            and ss.exceptAll(edges).limit(1).count() == 0
-        )
+        n_ss = ss.count()
+        converged = n_ss == n_edges and ss.exceptAll(edges).limit(1).count() == 0
         _free_local_checkpoint(edges)
         edges = ss
+        n_edges = n_ss
         if converged:
             _set_cc_info(algorithm="star", star_rounds=rounds)
             labels = nodes.join(

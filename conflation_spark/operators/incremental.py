@@ -289,12 +289,14 @@ def incremental_embedding_pairs(
     )
     # a re-delivered delta batch can overlap the corpus; duplicated ids in
     # the verify input would join each candidate pair multiple times and
-    # emit duplicate verified rows — dedup ids before the kernel
-    all_vecs = (
-        corpus_vectors.select(id_col, vec_col)
-        .unionByName(delta.select(id_col, vec_col))
-        .dropDuplicates([id_col])
+    # emit duplicate verified rows. Dedup DETERMINISTICALLY in the
+    # delta's favor (anti-join, not dropDuplicates — which keeps an
+    # arbitrary row, flapping near-threshold pairs when a re-delivered
+    # id carries an UPDATED vector)
+    corpus_only = corpus_vectors.select(id_col, vec_col).join(
+        delta.select(id_col), id_col, "left_anti"
     )
+    all_vecs = corpus_only.unionByName(delta.select(id_col, vec_col))
     return verify_cosine_pairs(cands, all_vecs, id_col, vec_col, threshold)
 
 
@@ -373,10 +375,26 @@ def checkpoint_ivf_index(
         .agg(F.expr("percentile(d2, 0.95)").alias("p"))
         .collect()[0]["p"]
     )
+    # empty corpus: percentile is NULL; store 0.0 (any delta distance
+    # then reads as drift, which is the right signal for an empty index)
     spark.createDataFrame(
-        [("d2_p95", float(p95))], "metric string, value double"
+        [("d2_p95", float(p95) if p95 is not None else 0.0)],
+        "metric string, value double",
     ).coalesce(1).write.mode("overwrite").saveAsTable(f"{table_name}_stats")
     return spark.table(table_name)
+
+
+def _table_num_buckets(spark, table_name: str, default: int) -> int:
+    """Bucket count of an existing table from the catalog (DESCRIBE
+    EXTENDED 'Num Buckets' row) — appends must match the table's own
+    spec, not a constant."""
+    try:
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect():
+            if r["col_name"] == "Num Buckets":
+                return int(r["data_type"])
+    except Exception:
+        pass
+    return default
 
 
 def load_ivf_centroids(spark, table_name: str):
@@ -410,7 +428,7 @@ def incremental_ivf_assign(
         .select("id", "vec", F.col("_a.list_id").alias("list_id"), F.col("_a.d2").alias("d2"))
     )
     if append:
-        n_buckets = BAND_BUCKETS
+        n_buckets = _table_num_buckets(spark, table_name, BAND_BUCKETS)
         (
             d.write.format("parquet")
             .mode("append")

@@ -306,3 +306,64 @@ def test_incremental_ivf_index_assign_drift_and_search(spark):
     )
     loud = ivf_drift_check(spark, "test_ivf_idx", shifted, "vec_id", "vec")
     assert loud["retrain"] and loud["delta_p95"] > loud["corpus_p95"], loud
+
+
+def test_incremental_ivf_custom_buckets_and_empty_corpus(spark):
+    """Appends must honor the TABLE's bucket spec (not a constant), and
+    an empty corpus checkpoints cleanly with a 0.0 drift baseline so
+    the first real delta reads as drift."""
+    import numpy as np
+
+    from conflation_spark.operators.incremental import (
+        checkpoint_ivf_index,
+        incremental_ivf_assign,
+        ivf_drift_check,
+    )
+
+    cents = np.eye(4, 64, dtype=np.float64)
+    d = ensure_text_fixture("sf0.001")
+    v = spark.read.parquet(f"{d}/vectors.parquet").select("vec_id", "vec")
+    corpus = v.where(F.col("vec_id") < "v000100")
+    delta = v.where((F.col("vec_id") >= "v000100") & (F.col("vec_id") < "v000150"))
+    # non-default bucket count survives the append
+    checkpoint_ivf_index(corpus, "test_ivf_b8", cents, "vec_id", "vec", n_buckets=8)
+    incremental_ivf_assign(spark, "test_ivf_b8", delta, "vec_id", "vec", append=True)
+    assert spark.table("test_ivf_b8").count() == corpus.count() + delta.count()
+    # empty corpus: checkpoint succeeds, stats row is 0.0, delta drifts
+    empty = spark.createDataFrame([], "vec_id string, vec array<double>")
+    checkpoint_ivf_index(empty, "test_ivf_empty", cents, "vec_id", "vec")
+    base = {
+        r["metric"]: r["value"]
+        for r in spark.table("test_ivf_empty_stats").collect()
+    }
+    assert base["d2_p95"] == 0.0
+    assert ivf_drift_check(spark, "test_ivf_empty", delta, "vec_id", "vec")["retrain"]
+
+
+def test_incremental_embedding_redelivered_id_prefers_delta_vector(spark):
+    """A re-delivered id carrying an UPDATED vector must be verified
+    against the DELTA's vector deterministically (anti-join dedup), not
+    whichever duplicate a partition saw first."""
+    import math
+
+    from conflation_spark.operators.incremental import (
+        checkpoint_emb_band_table,
+        incremental_embedding_pairs,
+    )
+
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    corpus = spark.createDataFrame(
+        [("A", e1), ("X", e2)], "vec_id string, vec array<double>"
+    )
+    # X re-delivered with A's direction: the pair (A, X) is only >= 0.95
+    # under the NEW vector
+    delta = spark.createDataFrame([("X", e1)], "vec_id string, vec array<double>")
+    checkpoint_emb_band_table(corpus, "test_emb_upd", "vec_id", "vec")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_c"]
+        for r in incremental_embedding_pairs(
+            spark, "test_emb_upd", corpus, delta, "vec_id", "vec", 0.95
+        ).collect()
+    }
+    assert got.get(("A", "X")) == 10_000, got  # cosine 1.0 at the 1e4 scale

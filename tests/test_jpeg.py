@@ -125,6 +125,39 @@ def test_decode_rejects_garbage_and_truncation():
         decode_jpeg(data[:40])
 
 
+def test_decode_tolerates_fill_bytes():
+    """0xFF fill bytes before a marker are legal padding (T.81 B.1.1.2)
+    and must parse identically."""
+    arr = (np.arange(16 * 16).reshape(16, 16) % 256).astype(np.uint8)
+    data = encode_jpeg(arr, 90)
+    padded = data[:2] + b"\xff\xff" + data[2:]  # fill bytes before DQT
+    assert (decode_jpeg(padded) == decode_jpeg(data)).all()
+
+
+def test_decode_rejects_partial_component_scan():
+    """A scan covering fewer components than the frame (multi-scan
+    non-interleaved baseline) must raise, not silently decode only the
+    first component's data and return green-shifted pixels."""
+    yy, xx = np.mgrid[0:16, 0:16]
+    arr = np.stack([(yy * 8 + c * 10) % 256 for c in (0, 1, 2)], axis=2).astype(
+        np.uint8
+    )
+    data = encode_jpeg(arr, 90)
+    i = data.find(b"\xff\xda")
+    # rewrite the SOS header: 1 component instead of 3
+    import struct as _s
+
+    patched = (
+        data[:i + 2]
+        + _s.pack(">H", 8)
+        + bytes([1, 1, 0x00])
+        + b"\x00\x3f\x00"
+        + data[i + 2 + 12 :]
+    )
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(patched)
+
+
 def test_decode_rejects_progressive_sof():
     arr = np.zeros((8, 8), dtype=np.uint8)
     data = bytearray(encode_jpeg(arr))

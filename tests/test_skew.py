@@ -138,13 +138,14 @@ def test_salted_join_same_candidates_and_spread(spark):
     # too-big-to-broadcast graph), so force the shuffled path; the salt
     # helper's own explicit broadcast(hot) hint survives the threshold
     prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         cu = partition_counts(pc.join(ec, "cell"))
         cs = partition_counts(salted_cell_join(pc, ec, n_salts=8, hot_threshold=1000))
     finally:
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coal)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
     assert sum(cu.values()) == sum(cs.values())
     hot_rows = max(cu.values())  # the one-task straggler in the plain join
