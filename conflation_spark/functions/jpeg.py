@@ -270,11 +270,19 @@ def _downsample2(plane: np.ndarray) -> np.ndarray:
     return p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    interleave: bool = True,
+) -> bytes:
     """uint8 (h, w) grey or (h, w, 3) RGB -> baseline JFIF JPEG bytes
     (Annex K quantization scaled by ``quality``, Annex K Huffman).
     ``subsampling``: "444" (no chroma subsampling) or "420" (2x2 luma
-    sampling, the dominant real-world layout; grey input ignores it)."""
+    sampling, the dominant real-world layout; grey input ignores it).
+    ``interleave=False`` emits one single-component SOS per component
+    (the non-interleaved multi-scan layout) — exists mainly to exercise
+    the decoder's per-scan path with genuinely different streams."""
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
@@ -332,30 +340,47 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "444") ->
         ]
     for tc, bits, vals in tables:
         out += seg(0xFFC4, bytes([tc]) + bytes(bits) + bytes(vals))
-    scan_spec = b"".join(
-        bytes([ci + 1, 0x00 if ci == 0 else 0x11]) for ci in range(ncomp)
-    )
-    out += seg(0xFFDA, bytes([ncomp]) + scan_spec + b"\x00\x3f\x00")
-    # interleaved MCUs: per MCU each component contributes its v_i x h_i
-    # blocks in raster order (T.81 A.2.3)
-    writer = _BitWriter()
     dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
-    prev = [0] * ncomp
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci in range(ncomp):
-                hi, vi = samp[ci]
-                dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-                for by in range(vi):
-                    for bx in range(hi):
-                        blk = qgrids[ci][my * vi + by, mx * hi + bx]
-                        prev[ci] = _encode_blocks(
-                            writer, blk[None, :], dc, ac, prev[ci]
-                        )
-    out += writer.flush()
+    if interleave:
+        scan_spec = b"".join(
+            bytes([ci + 1, 0x00 if ci == 0 else 0x11]) for ci in range(ncomp)
+        )
+        out += seg(0xFFDA, bytes([ncomp]) + scan_spec + b"\x00\x3f\x00")
+        # interleaved MCUs: per MCU each component contributes its
+        # v_i x h_i blocks in raster order (T.81 A.2.3)
+        writer = _BitWriter()
+        prev = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hi, vi = samp[ci]
+                    dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                    for by in range(vi):
+                        for bx in range(hi):
+                            blk = qgrids[ci][my * vi + by, mx * hi + bx]
+                            prev[ci] = _encode_blocks(
+                                writer, blk[None, :], dc, ac, prev[ci]
+                            )
+        out += writer.flush()
+    else:
+        # non-interleaved: one single-component scan per component over
+        # its OWN block grid (T.81 A.2.2); DC predictor resets per scan
+        for ci in range(ncomp):
+            hi, vi = samp[ci]
+            cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+            bw_n, bh_n = -(-cw // 8), -(-ch // 8)
+            out += seg(
+                0xFFDA, bytes([1, ci + 1, 0x00 if ci == 0 else 0x11]) + b"\x00\x3f\x00"
+            )
+            writer = _BitWriter()
+            dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+            _encode_blocks(
+                writer, qgrids[ci][:bh_n, :bw_n].reshape(-1, 64), dc, ac, 0
+            )
+            out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -420,14 +445,81 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _collect_entropy(data: bytes, start: int) -> tuple[bytes, int]:
+    """Entropy-coded bytes from ``start`` to the next real marker:
+    un-stuffs FF00, keeps RSTn inline for the reader, returns (entropy,
+    position of the terminating marker)."""
+    entropy = bytearray()
+    p = start
+    while p < len(data):
+        b = data[p]
+        if b == 0xFF:
+            nxt = data[p + 1] if p + 1 < len(data) else None
+            if nxt == 0x00:
+                entropy.append(0xFF)
+                p += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                entropy.append(0xFF)  # keep RST marker inline for the reader
+                entropy.append(nxt)
+                p += 2
+                continue
+            break  # EOI or another marker ends the scan
+        entropy.append(b)
+        p += 1
+    return bytes(entropy), p
+
+
+def _decode_block(reader: _BitReader, dc_t: _HuffTable, ac_t: _HuffTable, blk, pred: int) -> int:
+    """One 8x8 data unit into a 64-length zigzag buffer; returns the
+    updated DC predictor."""
+    cat = reader.decode_symbol(dc_t)
+    diff = _extend(reader.read_bits(cat), cat) if cat else 0
+    pred += diff
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        rs = reader.decode_symbol(ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC index past 63")
+        blk[k] = _extend(reader.read_bits(s), s)
+        k += 1
+    return pred
+
+
+def _maybe_restart(reader: _BitReader, unit: int, interval: int) -> bool:
+    """Handle a restart boundary before decoding unit ``unit``; True if
+    the DC predictors must reset."""
+    if interval and unit and unit % interval == 0:
+        reader.byte_align()
+        if (
+            reader.pos + 1 < len(reader.data)
+            and reader.data[reader.pos] == 0xFF
+            and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
+        ):
+            reader.pos += 2
+        return True
+    return False
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG bytes -> uint8 (h, w) grey or (h, w, 3) RGB.
 
-    Parses DQT/SOF0/DHT/SOS/DRI, Huffman-decodes the single interleaved
-    scan (general sampling factors: per MCU each component contributes
-    its v_i x h_i blocks), dequantizes, batched IDCT, replication chroma
-    upsample, JFIF color conversion. Raises ValueError on progressive
-    streams, bit depths != 8, or corrupt entropy data."""
+    Parses DQT/SOF0/DHT/SOS/DRI and Huffman-decodes EVERY scan: one
+    interleaved scan (per MCU each component contributes its v_i x h_i
+    data units) or a sequence of single-component non-interleaved scans
+    (one data unit per MCU over the component's own block grid — the
+    multi-scan layout some baseline encoders emit); then dequantizes,
+    batched IDCT, replication chroma upsample, JFIF color conversion.
+    Raises ValueError on progressive streams, bit depths != 8, scans
+    that do not cover every component, or corrupt entropy data."""
     if not isinstance(data, (bytes, bytearray, memoryview)):
         raise ValueError("decode_jpeg wants bytes")
     data = bytes(data)
@@ -438,9 +530,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htables: dict[int, _HuffTable] = {}
     restart_interval = 0
     h = w = None
-    comps: list[tuple[int, int, int]] = []  # (comp_id, qtable_id, sampling)
-    scan_comps: list[tuple[int, int, int]] = []  # (comp_idx, dc_tid, ac_tid)
-    scan_start = None
+    hmax = vmax = mcux = mcuy = 0
+    comps: list[tuple[int, int, tuple[int, int]]] = []  # (id, qtable, (hi, vi))
+    grids = None  # per-component zigzag coefficient grids (bh_i, bw_i, 64)
+    covered: set[int] = set()  # component indexes some scan has decoded
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
@@ -452,7 +545,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += 2
             continue
         if marker == 0xD9:
-            raise ValueError("corrupt JPEG: EOI before SOS scan")
+            break  # EOI; coverage validated below
         (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + seg_len]
         if len(payload) != seg_len - 2:
@@ -500,15 +593,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS
+            if h is None:
+                raise ValueError("corrupt JPEG: SOS before SOF0")
+            if grids is None:
+                hmax = max(s[0] for (_, _, s) in comps)
+                vmax = max(s[1] for (_, _, s) in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                grids = [
+                    np.zeros((mcuy * s[1], mcux * s[0], 64), dtype=np.float64)
+                    for (_, _, s) in comps
+                ]
             ns = payload[0]
-            if ns != len(comps):
-                # a multi-scan (non-interleaved) baseline file would need
-                # per-scan decoding; decoding just the first scan would
-                # SILENTLY return wrong pixels — refuse loudly instead
-                raise ValueError(
-                    f"unsupported JPEG: scan covers {ns} of {len(comps)} "
-                    "components (multi-scan non-interleaved stream)"
-                )
+            sc: list[tuple[int, _HuffTable, _HuffTable]] = []
             for si in range(ns):
                 cs, tids = payload[1 + 2 * si], payload[2 + 2 * si]
                 idx = next(
@@ -516,85 +613,61 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
                 if idx is None:
                     raise ValueError("corrupt JPEG: scan references unknown component")
-                scan_comps.append((idx, tids >> 4, tids & 0x0F))
-            scan_start = pos + 2 + seg_len
-            break
+                dc_t = htables.get(0x00 | (tids >> 4))
+                ac_t = htables.get(0x10 | (tids & 0x0F))
+                if dc_t is None or ac_t is None:
+                    raise ValueError("corrupt JPEG: scan uses undefined Huffman table")
+                sc.append((idx, dc_t, ac_t))
+            entropy, pos = _collect_entropy(data, pos + 2 + seg_len)
+            reader = _BitReader(entropy)
+            if ns == len(comps):
+                # interleaved: per MCU each component contributes its
+                # v_i x h_i data units in raster order (A.2.3)
+                prev_dc = [0] * len(comps)
+                for mcu in range(mcux * mcuy):
+                    if _maybe_restart(reader, mcu, restart_interval):
+                        prev_dc = [0] * len(comps)
+                    my, mx = divmod(mcu, mcux)
+                    for ci, dc_t, ac_t in sc:
+                        hi, vi = comps[ci][2]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                prev_dc[ci] = _decode_block(
+                                    reader,
+                                    dc_t,
+                                    ac_t,
+                                    grids[ci][my * vi + by, mx * hi + bx],
+                                    prev_dc[ci],
+                                )
+            elif ns == 1:
+                # non-interleaved: one data unit per "MCU" over the
+                # component's OWN block grid (A.2.2) — the multi-scan
+                # layout some baseline encoders emit
+                ci, dc_t, ac_t = sc[0]
+                hi, vi = comps[ci][2]
+                cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+                bw_n, bh_n = -(-cw // 8), -(-ch // 8)
+                pred = 0
+                for bi in range(bw_n * bh_n):
+                    if _maybe_restart(reader, bi, restart_interval):
+                        pred = 0
+                    by, bx = divmod(bi, bw_n)
+                    pred = _decode_block(
+                        reader, dc_t, ac_t, grids[ci][by, bx], pred
+                    )
+            else:
+                raise ValueError(
+                    f"unsupported JPEG: scan interleaves {ns} of "
+                    f"{len(comps)} components"
+                )
+            covered.update(ci for ci, _, _ in sc)
+            continue  # pos already sits at the scan-terminating marker
         # APPn/COM/anything else: skip
         pos += 2 + seg_len
-    if h is None or scan_start is None:
-        raise ValueError("truncated JPEG: missing SOF0 or SOS")
-    # collect entropy bytes, un-stuffing FF00 and stopping at a real marker
-    entropy = bytearray()
-    p = scan_start
-    while p < len(data):
-        b = data[p]
-        if b == 0xFF:
-            nxt = data[p + 1] if p + 1 < len(data) else None
-            if nxt == 0x00:
-                entropy.append(0xFF)
-                p += 2
-                continue
-            if nxt is not None and 0xD0 <= nxt <= 0xD7:
-                entropy.append(0xFF)  # keep RST marker inline for the reader
-                entropy.append(nxt)
-                p += 2
-                continue
-            break  # EOI or another marker ends the scan
-        entropy.append(b)
-        p += 1
-    nc = len(comps)
-    hmax = max(s[0] for (_, _, s) in comps)
-    vmax = max(s[1] for (_, _, s) in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    n_mcu = mcux * mcuy
-    # per-component zigzag coefficient grids (bh_i, bw_i, 64)
-    grids = [
-        np.zeros((mcuy * s[1], mcux * s[0], 64), dtype=np.float64)
-        for (_, _, s) in comps
-    ]
-    reader = _BitReader(bytes(entropy))
-    prev_dc = [0] * nc
-    mcu = 0
-    while mcu < n_mcu:
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            reader.byte_align()
-            if (
-                reader.pos + 1 < len(reader.data)
-                and reader.data[reader.pos] == 0xFF
-                and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
-            ):
-                reader.pos += 2
-            prev_dc = [0] * nc
-        my, mx = divmod(mcu, mcux)
-        for si, (ci, dc_tid, ac_tid) in enumerate(scan_comps):
-            dc_t = htables.get(0x00 | dc_tid)
-            ac_t = htables.get(0x10 | ac_tid)
-            if dc_t is None or ac_t is None:
-                raise ValueError("corrupt JPEG: scan uses undefined Huffman table")
-            hi, vi = comps[ci][2]
-            for by in range(vi):
-                for bx in range(hi):
-                    cat = reader.decode_symbol(dc_t)
-                    diff = _extend(reader.read_bits(cat), cat) if cat else 0
-                    prev_dc[ci] += diff
-                    blk = grids[ci][my * vi + by, mx * hi + bx]
-                    blk[0] = prev_dc[ci]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode_symbol(ac_t)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:
-                                k += 16  # ZRL
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("corrupt JPEG: AC index past 63")
-                        blk[k] = _extend(reader.read_bits(s), s)
-                        k += 1
-        mcu += 1
+    if h is None or len(covered) != len(comps):
+        raise ValueError(
+            "truncated JPEG: missing SOF0 or scans do not cover every component"
+        )
     planes = []
     for ci, (cid, tq, (hi, vi)) in enumerate(comps):
         if tq not in qtables:

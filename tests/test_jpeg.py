@@ -134,28 +134,42 @@ def test_decode_tolerates_fill_bytes():
     assert (decode_jpeg(padded) == decode_jpeg(data)).all()
 
 
-def test_decode_rejects_partial_component_scan():
-    """A scan covering fewer components than the frame (multi-scan
-    non-interleaved baseline) must raise, not silently decode only the
-    first component's data and return green-shifted pixels."""
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_multiscan_noninterleaved_decodes_identically(sub):
+    """The non-interleaved layout (one single-component SOS per
+    component, the multi-scan form some baseline encoders emit) must
+    decode to EXACTLY the interleaved stream's pixels — same quantized
+    coefficients, different entropy layout."""
+    rng = np.random.default_rng(17)
+    yy, xx = np.mgrid[0:33, 0:47]
+    base = (yy * 255 // 32 + xx * 255 // 46) // 2
+    arr = np.stack(
+        [
+            np.clip(base + c * 20 + rng.integers(-20, 21, (33, 47)), 0, 255)
+            for c in range(3)
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    inter = decode_jpeg(encode_jpeg(arr, 90, sub, interleave=True))
+    multi = decode_jpeg(encode_jpeg(arr, 90, sub, interleave=False))
+    assert (inter == multi).all()
+
+
+def test_decode_rejects_incomplete_scan_coverage():
+    """A stream whose scans do not cover every frame component must
+    raise, not silently return green-shifted pixels from the zeroed
+    chroma grids. Built by truncating a real multi-scan stream after
+    its first (luma-only) scan."""
     yy, xx = np.mgrid[0:16, 0:16]
     arr = np.stack([(yy * 8 + c * 10) % 256 for c in (0, 1, 2)], axis=2).astype(
         np.uint8
     )
-    data = encode_jpeg(arr, 90)
-    i = data.find(b"\xff\xda")
-    # rewrite the SOS header: 1 component instead of 3
-    import struct as _s
-
-    patched = (
-        data[:i + 2]
-        + _s.pack(">H", 8)
-        + bytes([1, 1, 0x00])
-        + b"\x00\x3f\x00"
-        + data[i + 2 + 12 :]
-    )
-    with pytest.raises(ValueError, match="multi-scan"):
-        decode_jpeg(patched)
+    data = encode_jpeg(arr, 90, interleave=False)
+    # the second SOS starts the Cb scan; cut there and close with EOI
+    second_sos = data.find(b"\xff\xda", data.find(b"\xff\xda") + 2)
+    assert second_sos > 0
+    with pytest.raises(ValueError, match="cover every component"):
+        decode_jpeg(data[:second_sos] + b"\xff\xd9")
 
 
 def test_decode_rejects_progressive_sof():
