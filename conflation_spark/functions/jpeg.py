@@ -620,7 +620,28 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 sc.append((idx, dc_t, ac_t))
             entropy, pos = _collect_entropy(data, pos + 2 + seg_len)
             reader = _BitReader(entropy)
-            if ns == len(comps):
+            # ns == 1 MUST be tested first: per T.81 A.2.2 EVERY
+            # single-component scan is non-interleaved (one data unit
+            # per MCU over the component's own grid) — including a
+            # grayscale frame whose SOF declares sampling factors > 1,
+            # where the MCU formulation would mis-shape the grid
+            if ns == 1:
+                # non-interleaved: one data unit per "MCU" over the
+                # component's OWN block grid (A.2.2) — the multi-scan
+                # layout some baseline encoders emit
+                ci, dc_t, ac_t = sc[0]
+                hi, vi = comps[ci][2]
+                cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+                bw_n, bh_n = -(-cw // 8), -(-ch // 8)
+                pred = 0
+                for bi in range(bw_n * bh_n):
+                    if _maybe_restart(reader, bi, restart_interval):
+                        pred = 0
+                    by, bx = divmod(bi, bw_n)
+                    pred = _decode_block(
+                        reader, dc_t, ac_t, grids[ci][by, bx], pred
+                    )
+            elif ns == len(comps):
                 # interleaved: per MCU each component contributes its
                 # v_i x h_i data units in raster order (A.2.3)
                 prev_dc = [0] * len(comps)
@@ -639,22 +660,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                     grids[ci][my * vi + by, mx * hi + bx],
                                     prev_dc[ci],
                                 )
-            elif ns == 1:
-                # non-interleaved: one data unit per "MCU" over the
-                # component's OWN block grid (A.2.2) — the multi-scan
-                # layout some baseline encoders emit
-                ci, dc_t, ac_t = sc[0]
-                hi, vi = comps[ci][2]
-                cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
-                bw_n, bh_n = -(-cw // 8), -(-ch // 8)
-                pred = 0
-                for bi in range(bw_n * bh_n):
-                    if _maybe_restart(reader, bi, restart_interval):
-                        pred = 0
-                    by, bx = divmod(bi, bw_n)
-                    pred = _decode_block(
-                        reader, dc_t, ac_t, grids[ci][by, bx], pred
-                    )
             else:
                 raise ValueError(
                     f"unsupported JPEG: scan interleaves {ns} of "

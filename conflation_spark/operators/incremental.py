@@ -106,6 +106,10 @@ def checkpoint_band_table(
     spark = df.sparkSession
     if mode == "overwrite":
         _drop_stale_table(spark, table_name)
+    else:
+        # an append must match the EXISTING table's bucket spec, not the
+        # call's n_buckets default
+        n_buckets = _table_num_buckets(spark, table_name, n_buckets)
     banded = _minhash_banded(df, id_col, text_col, n_hashes, bands, shingle_k)
     if max_bucket_size is not None:
         banded = drop_hot_buckets(banded, ["band_idx", "band_hash"], max_bucket_size)
@@ -214,6 +218,8 @@ def checkpoint_emb_band_table(
     spark = df.sparkSession
     if mode == "overwrite":
         _drop_stale_table(spark, table_name)
+    else:
+        n_buckets = _table_num_buckets(spark, table_name, n_buckets)
     planes = lsh_planes(EMB_LSH_BANDS * EMB_LSH_BITS_PER_BAND, dim, EMB_LSH_SEED)
     sig = banded_signature_udf(planes, EMB_LSH_BANDS)
     banded = (
@@ -289,14 +295,21 @@ def incremental_embedding_pairs(
     )
     # a re-delivered delta batch can overlap the corpus; duplicated ids in
     # the verify input would join each candidate pair multiple times and
-    # emit duplicate verified rows. Dedup DETERMINISTICALLY in the
-    # delta's favor (anti-join, not dropDuplicates — which keeps an
-    # arbitrary row, flapping near-threshold pairs when a re-delivered
-    # id carries an UPDATED vector)
-    corpus_only = corpus_vectors.select(id_col, vec_col).join(
-        delta.select(id_col), id_col, "left_anti"
+    # emit duplicate verified rows. Corpus-vs-delta conflicts dedup
+    # DETERMINISTICALLY in the delta's favor (anti-join — dropDuplicates
+    # across the union would keep an arbitrary row, flapping
+    # near-threshold pairs when a re-delivered id carries an UPDATED
+    # vector); ids duplicated WITHIN a side still need dropDuplicates
+    # (at-least-once re-delivery concatenated into one batch) — there an
+    # arbitrary-but-single row is the best available semantics
+    corpus_only = (
+        corpus_vectors.select(id_col, vec_col)
+        .dropDuplicates([id_col])
+        .join(delta.select(id_col), id_col, "left_anti")
     )
-    all_vecs = corpus_only.unionByName(delta.select(id_col, vec_col))
+    all_vecs = corpus_only.unionByName(
+        delta.select(id_col, vec_col).dropDuplicates([id_col])
+    )
     return verify_cosine_pairs(cands, all_vecs, id_col, vec_col, threshold)
 
 

@@ -367,3 +367,39 @@ def test_incremental_embedding_redelivered_id_prefers_delta_vector(spark):
         ).collect()
     }
     assert got.get(("A", "X")) == 10_000, got  # cosine 1.0 at the 1e4 scale
+
+
+def test_band_checkpoint_append_honors_table_bucket_spec(spark):
+    """checkpoint_band_table(mode='append') must reuse the EXISTING
+    table's bucket count, not the call's n_buckets default — otherwise
+    growing a non-default-bucketed corpus checkpoint raises Spark's
+    bucketing-mismatch error."""
+    d = ensure_text_fixture("sf0.001")
+    td = spark.read.parquet(f"{d}/textdocs.parquet")
+    a = td.where(F.col("text_id") < "t000050")
+    b = td.where((F.col("text_id") >= "t000050") & (F.col("text_id") < "t000080"))
+    checkpoint_band_table(a, "test_bands_b8", "text_id", "text", n_buckets=8)
+    # default n_buckets (16) on the append call: must follow the table's 8
+    checkpoint_band_table(b, "test_bands_b8", "text_id", "text", mode="append")
+    got = spark.table("test_bands_b8").select("id").distinct().count()
+    assert got == a.count() + b.count()
+
+
+def test_incremental_embedding_dedups_within_delta(spark):
+    """Ids duplicated WITHIN one delta batch (at-least-once re-delivery
+    concatenated together) must not multiply verified rows."""
+    from conflation_spark.operators.incremental import (
+        checkpoint_emb_band_table,
+        incremental_embedding_pairs,
+    )
+
+    e1 = [1.0] + [0.0] * 63
+    corpus = spark.createDataFrame([("A", e1)], "vec_id string, vec array<double>")
+    delta = spark.createDataFrame(
+        [("X", e1), ("X", e1)], "vec_id string, vec array<double>"
+    )
+    checkpoint_emb_band_table(corpus, "test_emb_dupd", "vec_id", "vec")
+    rows = incremental_embedding_pairs(
+        spark, "test_emb_dupd", corpus, delta, "vec_id", "vec", 0.95
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["cosine_c"]) for r in rows] == [("A", "X", 10_000)]

@@ -155,6 +155,25 @@ def test_multiscan_noninterleaved_decodes_identically(sub):
     assert (inter == multi).all()
 
 
+def test_grayscale_frame_with_sampling_factors_above_one():
+    """T.81 A.2.2: EVERY single-component scan is non-interleaved — a
+    grayscale frame whose SOF declares 2x2 sampling (legal; the factor
+    is meaningless for one component) still carries ceil(w/8)*ceil(h/8)
+    raster-ordered data units, not 16x16 MCU tiles. Built by patching
+    the SOF sampling byte of a normal grayscale stream."""
+    arr = (np.add.outer(np.arange(24) * 7, np.arange(24) * 5) % 256).astype(
+        np.uint8
+    )
+    data = bytearray(encode_jpeg(arr, 90))
+    i = data.find(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) nc(1) [cid samp tq]
+    samp_off = i + 4 + 6 + 1
+    assert data[samp_off] == 0x11
+    data[samp_off] = 0x22
+    dec = decode_jpeg(bytes(data))
+    assert (dec == decode_jpeg(encode_jpeg(arr, 90))).all()
+
+
 def test_decode_rejects_incomplete_scan_coverage():
     """A stream whose scans do not cover every frame component must
     raise, not silently return green-shifted pixels from the zeroed
