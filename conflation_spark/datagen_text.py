@@ -213,9 +213,10 @@ def gen_jpeg_blobs(out_dir: str, n: int, seed: int = 37, quality: int = 90) -> N
     noise mix; ~60% RGB (half of them 4:2:0-subsampled — the dominant
     real-world layout — exercising the MCU-interleaved decode), rest
     greyscale; ~1/3 of all blobs use the NON-INTERLEAVED multi-scan
-    layout (one SOS per component) so the per-scan decode path sits
-    under the oracle gate; dims 8..72 px."""
-    from conflation_spark.functions.jpeg import encode_jpeg
+    layout (one SOS per component) and another ~1/4 are PROGRESSIVE
+    (SOF2, spectral selection + successive approximation) so both
+    per-scan decode paths sit under the oracle gate; dims 8..72 px."""
+    from conflation_spark.functions.jpeg import encode_jpeg, encode_jpeg_progressive
     from conflation_spark.functions.png import image_feature_grid, quantize_feature
 
     rng = np.random.default_rng(seed)
@@ -236,10 +237,15 @@ def gen_jpeg_blobs(out_dir: str, n: int, seed: int = 37, quality: int = 90) -> N
             arr = np.clip(base + rng.integers(-40, 41, (h, w)), 0, 255).astype(np.uint8)
         refs.append(f"j{i:06d}")
         sub = "420" if arr.ndim == 3 and rng.random() < 0.5 else "444"
-        inter = rng.random() >= 1.0 / 3.0
-        blobs.append(
-            encode_jpeg(arr, quality=quality, subsampling=sub, interleave=inter)
-        )
+        layout = rng.random()
+        if layout < 0.25:
+            blobs.append(encode_jpeg_progressive(arr, quality=quality, subsampling=sub))
+        else:
+            blobs.append(
+                encode_jpeg(
+                    arr, quality=quality, subsampling=sub, interleave=layout >= 0.55
+                )
+            )
         widths.append(w)
         heights.append(h)
         feats[i] = quantize_feature(image_feature_grid(arr))
@@ -362,7 +368,7 @@ def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     if sf_name not in SF_TEXT:
         sf_name = "sf0.01"
     out = os.path.join(root, sf_name)
-    marker = os.path.join(out, "_SUCCESS_v10")
+    marker = os.path.join(out, "_SUCCESS_v11")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)

@@ -155,6 +155,50 @@ def test_multiscan_noninterleaved_decodes_identically(sub):
     assert (inter == multi).all()
 
 
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_progressive_decodes_identically_to_sequential(sub):
+    """SOF2 progressive (spectral selection + successive approximation,
+    the libjpeg-shaped scan script) carries the SAME quantized
+    coefficients as the sequential stream, so decoded pixels must be
+    bit-identical — one equality that exercises DC first/refine, AC
+    banded first passes at Al=2/1, AC refinements 2->1 and 1->0, EOB
+    runs and in-refinement ZRLs."""
+    from conflation_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(23)
+    yy, xx = np.mgrid[0:41, 0:57]
+    base = (yy * 255 // 40 + xx * 255 // 56) // 2
+    arr = np.stack(
+        [
+            np.clip(base + c * 20 + rng.integers(-25, 26, (41, 57)), 0, 255)
+            for c in range(3)
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    seq = decode_jpeg(encode_jpeg(arr, 90, sub))
+    prog = decode_jpeg(encode_jpeg_progressive(arr, 90, sub))
+    assert (seq == prog).all()
+
+
+def test_progressive_extreme_content():
+    """EOB-run and refinement corner cases: flat images (maximal EOB
+    runs across blocks), pure noise at high quality (dense refinement
+    bits), sparse low quality (ZRL-heavy), and grayscale."""
+    from conflation_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(29)
+    cases = [
+        (np.full((96, 80, 3), 130, np.uint8), 90, "420"),
+        (rng.integers(0, 256, (40, 40, 3)).astype(np.uint8), 98, "444"),
+        (rng.integers(0, 256, (56, 56, 3)).astype(np.uint8), 5, "444"),
+        (np.full((80, 96), 7, np.uint8), 90, "444"),
+    ]
+    for arr, q, sub in cases:
+        seq = decode_jpeg(encode_jpeg(arr, q, sub))
+        prog = decode_jpeg(encode_jpeg_progressive(arr, q, sub))
+        assert (seq == prog).all(), (arr.shape, q, sub)
+
+
 def test_grayscale_frame_with_sampling_factors_above_one():
     """T.81 A.2.2: EVERY single-component scan is non-interleaved — a
     grayscale frame whose SOF declares 2x2 sampling (legal; the factor
@@ -191,12 +235,17 @@ def test_decode_rejects_incomplete_scan_coverage():
         decode_jpeg(data[:second_sos] + b"\xff\xd9")
 
 
-def test_decode_rejects_progressive_sof():
+def test_decode_rejects_unsupported_sof_and_mislabeled_frames():
     arr = np.zeros((8, 8), dtype=np.uint8)
     data = bytearray(encode_jpeg(arr))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="SOF2"):
+    data[i + 1] = 0xC3  # hierarchical/lossless: genuinely unsupported
+    with pytest.raises(ValueError, match="SOF3"):
+        decode_jpeg(bytes(data))
+    # a sequential stream mislabeled SOF2 must fail loudly (its scan
+    # header is invalid for progressive), never silently mis-decode
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="corrupt"):
         decode_jpeg(bytes(data))
 
 
