@@ -211,6 +211,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
         return bytes(self.out)
 
+    def emit_restart(self, idx: int) -> None:
+        """Pad to a byte boundary and splice an RSTm marker into the
+        entropy stream (marker bytes are raw — never byte-stuffed)."""
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
 
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
@@ -339,18 +347,20 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     interleave: bool = True,
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 (h, w) grey or (h, w, 3) RGB -> baseline JFIF JPEG bytes
     (Annex K quantization scaled by ``quality``, Annex K Huffman).
     ``subsampling``: "444" (no chroma subsampling) or "420" (2x2 luma
     sampling, the dominant real-world layout; grey input ignores it).
     ``interleave=False`` emits one single-component SOS per component
-    (the non-interleaved multi-scan layout) — exists mainly to exercise
-    the decoder's per-scan path with genuinely different streams."""
+    (the non-interleaved multi-scan layout); ``restart_interval`` > 0
+    emits DRI + RSTn markers every that many MCUs with DC-predictor
+    resets — both exist mainly to exercise the decoder's paths with
+    genuinely different streams."""
     qgrids, samp, ncomp, hmax, vmax, mcux, mcuy, qt, h, w = _prepare_encode(
         arr, quality, subsampling
     )
-    seg = _seg
     out = bytearray(b"\xff\xd8")  # SOI
     _emit_frame_headers(out, qt, ncomp, samp, h, w, 0xFFC0)
     tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
@@ -360,7 +370,9 @@ def encode_jpeg(
             (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
         ]
     for tc, bits, vals in tables:
-        out += seg(0xFFC4, bytes([tc]) + bytes(bits) + bytes(vals))
+        out += _seg(0xFFC4, bytes([tc]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
@@ -369,22 +381,27 @@ def encode_jpeg(
         scan_spec = b"".join(
             bytes([ci + 1, 0x00 if ci == 0 else 0x11]) for ci in range(ncomp)
         )
-        out += seg(0xFFDA, bytes([ncomp]) + scan_spec + b"\x00\x3f\x00")
+        out += _seg(0xFFDA, bytes([ncomp]) + scan_spec + b"\x00\x3f\x00")
         # interleaved MCUs: per MCU each component contributes its
         # v_i x h_i blocks in raster order (T.81 A.2.3)
         writer = _BitWriter()
         prev = [0] * ncomp
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci in range(ncomp):
-                    hi, vi = samp[ci]
-                    dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-                    for by in range(vi):
-                        for bx in range(hi):
-                            blk = qgrids[ci][my * vi + by, mx * hi + bx]
-                            prev[ci] = _encode_blocks(
-                                writer, blk[None, :], dc, ac, prev[ci]
-                            )
+        rst = 0
+        for mcu in range(mcux * mcuy):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.emit_restart(rst)
+                rst += 1
+                prev = [0] * ncomp
+            my, mx = divmod(mcu, mcux)
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = qgrids[ci][my * vi + by, mx * hi + bx]
+                        prev[ci] = _encode_blocks(
+                            writer, blk[None, :], dc, ac, prev[ci]
+                        )
         out += writer.flush()
     else:
         # non-interleaved: one single-component scan per component over
@@ -393,14 +410,22 @@ def encode_jpeg(
             hi, vi = samp[ci]
             cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
             bw_n, bh_n = -(-cw // 8), -(-ch // 8)
-            out += seg(
+            out += _seg(
                 0xFFDA, bytes([1, ci + 1, 0x00 if ci == 0 else 0x11]) + b"\x00\x3f\x00"
             )
             writer = _BitWriter()
             dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-            _encode_blocks(
-                writer, qgrids[ci][:bh_n, :bw_n].reshape(-1, 64), dc, ac, 0
-            )
+            pred = 0
+            rst = 0
+            for bi in range(bh_n * bw_n):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    writer.emit_restart(rst)
+                    rst += 1
+                    pred = 0
+                by, bx = divmod(bi, bw_n)
+                pred = _encode_blocks(
+                    writer, qgrids[ci][by, bx][None, :], dc, ac, pred
+                )
             out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -432,7 +457,10 @@ _PROG_SCRIPT_GRAY = [
 
 
 def encode_jpeg_progressive(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 (h, w) grey or (h, w, 3) RGB -> PROGRESSIVE (SOF2) JFIF
     bytes: spectral selection + successive approximation per the
@@ -442,7 +470,10 @@ def encode_jpeg_progressive(
     encoder's, so `decode_jpeg` must reproduce the sequential stream's
     pixels exactly (the property tests rely on this). DC scans use the
     Annex K DC tables; AC scans use a flat 256-symbol table because the
-    sequential AC tables lack the EOBn symbols EOB runs need."""
+    sequential AC tables lack the EOBn symbols EOB runs need.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    data units in every scan (EOB runs and predictors flush/reset at
+    each boundary, the T.81 interaction worth testing)."""
     qgrids, samp, ncomp, hmax, vmax, mcux, mcuy, qt, h, w = _prepare_encode(
         arr, quality, subsampling
     )
@@ -453,6 +484,8 @@ def encode_jpeg_progressive(
         tables.append((0x01, DC_CHROMA_BITS, DC_CHROMA_VALS))
     for tc, bits, vals in tables:
         out += _seg(0xFFC4, bytes([tc]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     dc_codes = [
         _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
         _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
@@ -470,16 +503,21 @@ def encode_jpeg_progressive(
                 0xFFDA,
                 bytes([len(comp_ids)]) + spec + bytes([ss, se, (ah << 4) | al]),
             )
-            if ah == 0:
-                pred = {ci: 0 for ci in comp_ids}
-                for mcu in range(mcux * mcuy):
-                    my, mx = divmod(mcu, mcux)
-                    for ci in comp_ids:
-                        hi, vi = samp[ci]
-                        codes = dc_codes[0] if ci == 0 else dc_codes[1]
-                        for by in range(vi):
-                            for bx in range(hi):
-                                v = int(qgrids[ci][my * vi + by, mx * hi + bx, 0])
+            pred = {ci: 0 for ci in comp_ids}
+            rst = 0
+            for mcu in range(mcux * mcuy):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    writer.emit_restart(rst)
+                    rst += 1
+                    pred = {ci: 0 for ci in comp_ids}
+                my, mx = divmod(mcu, mcux)
+                for ci in comp_ids:
+                    hi, vi = samp[ci]
+                    codes = dc_codes[0] if ci == 0 else dc_codes[1]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            v = int(qgrids[ci][my * vi + by, mx * hi + bx, 0])
+                            if ah == 0:
                                 sh = v >> al  # arithmetic shift, matches decode
                                 diff = sh - pred[ci]
                                 pred[ci] = sh
@@ -488,14 +526,7 @@ def encode_jpeg_progressive(
                                 writer.write(code, ln)
                                 if cat:
                                     writer.write(_mag_bits(diff, cat), cat)
-            else:
-                for mcu in range(mcux * mcuy):
-                    my, mx = divmod(mcu, mcux)
-                    for ci in comp_ids:
-                        hi, vi = samp[ci]
-                        for by in range(vi):
-                            for bx in range(hi):
-                                v = int(qgrids[ci][my * vi + by, mx * hi + bx, 0])
+                            else:
                                 writer.write((v >> al) & 1, 1)
         else:
             ci = who
@@ -508,7 +539,14 @@ def encode_jpeg_progressive(
             )
             st = _ProgScanState()
             enc = _encode_ac_first_block if ah == 0 else _encode_ac_refine_block
+            rst = 0
             for bi in range(bw_n * bh_n):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    # pending EOB run + owed correction bits cannot cross
+                    # a restart boundary — flush, then mark
+                    _emit_eobrun(writer, ac_codes, st)
+                    writer.emit_restart(rst)
+                    rst += 1
                 by, bx = divmod(bi, bw_n)
                 enc(writer, ac_codes, qgrids[ci][by, bx], ss, se, al, st)
             _emit_eobrun(writer, ac_codes, st)
@@ -922,6 +960,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     for (_, _, s) in comps
                 ]
             ns = payload[0]
+            if len(payload) < 4 + 2 * ns:
+                raise ValueError("corrupt JPEG: short SOS header")
             sc: list[tuple[int, int, int]] = []  # (comp_idx, dc_tid, ac_tid)
             for si in range(ns):
                 cs, tids = payload[1 + 2 * si], payload[2 + 2 * si]

@@ -199,6 +199,60 @@ def test_progressive_extreme_content():
         assert (seq == prog).all(), (arr.shape, q, sub)
 
 
+def test_restart_markers_all_layouts():
+    """DRI + RSTn streams (predictor and EOB-run resets at every
+    boundary) must decode identically to the unrestarted stream in all
+    three layouts: sequential interleaved, non-interleaved multi-scan,
+    and progressive."""
+    from conflation_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(31)
+    yy, xx = np.mgrid[0:41, 0:57]
+    base = (yy * 255 // 40 + xx * 255 // 56) // 2
+    arr = np.stack(
+        [
+            np.clip(base + c * 20 + rng.integers(-25, 26, (41, 57)), 0, 255)
+            for c in range(3)
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(arr, 90, "420"))
+    for ri in (1, 3):
+        data = encode_jpeg(arr, 90, "420", restart_interval=ri)
+        assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+        assert (decode_jpeg(data) == plain).all()
+        assert (
+            decode_jpeg(
+                encode_jpeg(arr, 90, "420", interleave=False, restart_interval=ri)
+            )
+            == plain
+        ).all()
+        assert (
+            decode_jpeg(encode_jpeg_progressive(arr, 90, "420", restart_interval=ri))
+            == plain
+        ).all()
+
+
+def test_decode_rejects_short_sos_header():
+    """A declared SOS length omitting the spectral-selection bytes must
+    raise the documented ValueError, not IndexError (quarantine kernels
+    catch ValueError only)."""
+    import struct as _s
+
+    data = encode_jpeg(np.zeros((8, 8), np.uint8), 90)
+    i = data.find(b"\xff\xda")
+    ns = data[i + 4]
+    short_len = 2 + 1 + 2 * ns  # drops Ss/Se/AhAl
+    patched = (
+        data[: i + 2]
+        + _s.pack(">H", short_len)
+        + data[i + 4 : i + 4 + 1 + 2 * ns]
+        + data[i + 4 + 1 + 2 * ns + 3 :]
+    )
+    with pytest.raises(ValueError, match="short SOS"):
+        decode_jpeg(patched)
+
+
 def test_grayscale_frame_with_sampling_factors_above_one():
     """T.81 A.2.2: EVERY single-component scan is non-interleaved — a
     grayscale frame whose SOF declares 2x2 sampling (legal; the factor
