@@ -215,7 +215,9 @@ def gen_jpeg_blobs(out_dir: str, n: int, seed: int = 37, quality: int = 90) -> N
     greyscale; ~1/3 of all blobs use the NON-INTERLEAVED multi-scan
     layout (one SOS per component) and another ~1/4 are PROGRESSIVE
     (SOF2, spectral selection + successive approximation) so both
-    per-scan decode paths sit under the oracle gate; dims 8..72 px."""
+    per-scan decode paths sit under the oracle gate; ~1/5 of all blobs
+    additionally carry DRI + RSTn restart markers (predictor/EOB-run
+    resets); dims 8..72 px."""
     from conflation_spark.functions.jpeg import encode_jpeg, encode_jpeg_progressive
     from conflation_spark.functions.png import image_feature_grid, quantize_feature
 
@@ -238,12 +240,21 @@ def gen_jpeg_blobs(out_dir: str, n: int, seed: int = 37, quality: int = 90) -> N
         refs.append(f"j{i:06d}")
         sub = "420" if arr.ndim == 3 and rng.random() < 0.5 else "444"
         layout = rng.random()
+        ri = 3 if rng.random() < 0.2 else 0
         if layout < 0.25:
-            blobs.append(encode_jpeg_progressive(arr, quality=quality, subsampling=sub))
+            blobs.append(
+                encode_jpeg_progressive(
+                    arr, quality=quality, subsampling=sub, restart_interval=ri
+                )
+            )
         else:
             blobs.append(
                 encode_jpeg(
-                    arr, quality=quality, subsampling=sub, interleave=layout >= 0.55
+                    arr,
+                    quality=quality,
+                    subsampling=sub,
+                    interleave=layout >= 0.55,
+                    restart_interval=ri,
                 )
             )
         widths.append(w)
@@ -368,7 +379,7 @@ def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     if sf_name not in SF_TEXT:
         sf_name = "sf0.01"
     out = os.path.join(root, sf_name)
-    marker = os.path.join(out, "_SUCCESS_v11")
+    marker = os.path.join(out, "_SUCCESS_v12")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)

@@ -43,11 +43,14 @@ FRAME_SAMPLE_SCHEMA = "media_ref string, frame_idx int, frame_sha1 string"
 FEATURE_DIM = 16
 
 # max |decoded - source| per grid-mean feature element (features live in
-# [0, 1]) tolerated for a q90 baseline JPEG decode: quantization + IDCT
-# error averages out over a grid cell, measured well under 0.01 on the
-# fixture mix; 0.02 leaves 2x headroom while still failing loudly on any
-# real decoder defect (a broken unfilter/Huffman path is off by >> 0.02)
-JPEG_FEAT_TOL = 0.02
+# [0, 1]) tolerated for a q90 JPEG decode. Quantization + IDCT error
+# averages out over a grid cell, but TINY 4:2:0 images (grid cells of
+# ~2-3 px) legitimately reach ~0.026 on noisy content — chroma
+# subsampling error has nothing to average over (measured tail over 600
+# fixture-style images: 0.018; worst observed fixture draw: 0.0257).
+# 0.035 covers that tail while still failing loudly on a real decoder
+# defect (a broken unfilter/Huffman/refinement path is off by >= 0.1)
+JPEG_FEAT_TOL = 0.035
 
 
 def synth_blobs(spark, documents: DataFrame) -> DataFrame:

@@ -210,6 +210,36 @@ def main():
     if not has_tako10:
         failures.append("kmv global bottom-k does not plan as TakeOrdered")
 
+    # 11. incremental IVF search must bucket-prune: the stored index is
+    # bucketed on list_id and the probe filter selects a strict subset
+    # of buckets (the index-once/search-many contract — only probed
+    # lists are READ)
+    from conflation_spark.datagen_text import ensure_text_fixture
+    from conflation_spark.operators.incremental import (
+        checkpoint_ivf_index,
+        incremental_ivf_topk,
+    )
+    from conflation_spark.operators.similarity import train_ivf_centroids
+
+    d = ensure_text_fixture("sf0.001")
+    v = spark.read.parquet(f"{d}/vectors.parquet").select("vec_id", "vec")
+    cents = train_ivf_centroids(v, n_lists=16, id_col="vec_id", vec_col="vec")
+    checkpoint_ivf_index(v, "audit_ivf_idx", cents, "vec_id", "vec")
+    q = v.orderBy("vec_id").limit(5).selectExpr("vec_id as query_id", "vec")
+    p11 = (
+        incremental_ivf_topk(spark, "audit_ivf_idx", q, k=5, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", p11)
+    pruned = bool(m) and int(m.group(1)) < int(m.group(2))
+    print(
+        f"[11] incremental IVF search: bucket pruning={m.group(0) if m else 'ABSENT'}"
+    )
+    if not pruned:
+        failures.append("incremental IVF search does not bucket-prune the index scan")
+
     if failures:
         print("\nFAILURES:")
         for f in failures:
