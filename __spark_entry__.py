@@ -537,6 +537,20 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_ref", "width", "height", *q)
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (operators/text.py
+    repetition_stats): per doc the char fraction of the most common
+    2-/3-gram and of duplicated 5-grams (overlap-counting variant,
+    clamped at 1, integerized 1e6). One shuffle for the exploded gram
+    rows; the DuckDB twin unnests the identical gram lists."""
+    from conflation_spark.operators.text import repetition_stats
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    return repetition_stats(td, "text_id", "text").withColumnRenamed(
+        "text_id", "doc_id"
+    )
+
+
 def _q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-image decode: the fixture's jpeg_blobs carry
     genuine baseline JPEG bytes (pure-numpy T.81 codec, functions/jpeg.py)
@@ -1101,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         "text_stats": _q_text_stats,
+        "repetition_stats": _q_repetition_stats,
         "doc_chunks": _q_doc_chunks,
         "packed_sequences": _q_packed_sequences,
         "token_count": _q_token_count,
@@ -2129,4 +2144,30 @@ GROUP BY l_returnflag, l_linestatus
     # the star-engine twin runs the same clustering through
     # connected_components_star; identical fixpoint, identical oracle
     sqls["dedup_clusters_star"] = sqls["dedup_clusters"]
+    # Gopher repetition signals: identical gram lists + counting in SQL
+    sqls["repetition_stats"] = f"""
+WITH t AS (SELECT text_id AS doc_id, {_DUCK_TOKS} AS toks
+           FROM read_parquet('{td}/textdocs.parquet')),
+b AS (SELECT doc_id, toks, len(array_to_string(toks, '')) AS total_chars FROM t),
+g AS (
+  SELECT doc_id, v.n,
+         unnest(list_transform(generate_series(1, len(toks) - v.n + 1),
+                i -> array_to_string(list_slice(toks, i, i + v.n - 1), ' '))) AS gram
+  FROM b, (VALUES (2), (3), (5)) v(n)
+  WHERE len(toks) >= v.n
+),
+c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY ALL),
+a AS (SELECT doc_id, n,
+        max(cnt * (len(gram) - (n - 1))) AS topc,
+        sum(CASE WHEN cnt >= 2 THEN cnt * (len(gram) - (n - 1)) ELSE 0 END) AS dupc
+      FROM c GROUP BY ALL)
+SELECT b.doc_id, CAST(b.total_chars AS BIGINT) AS total_chars,
+  CAST(CASE WHEN b.total_chars > 0 THEN floor(least(coalesce(a2.topc, 0) / b.total_chars, CAST(1 AS DOUBLE)) * 1e6 + 0.5) ELSE 0 END AS BIGINT) AS top2_frac_c,
+  CAST(CASE WHEN b.total_chars > 0 THEN floor(least(coalesce(a3.topc, 0) / b.total_chars, CAST(1 AS DOUBLE)) * 1e6 + 0.5) ELSE 0 END AS BIGINT) AS top3_frac_c,
+  CAST(CASE WHEN b.total_chars > 0 THEN floor(least(coalesce(a5.dupc, 0) / b.total_chars, CAST(1 AS DOUBLE)) * 1e6 + 0.5) ELSE 0 END AS BIGINT) AS dup5_frac_c
+FROM b
+LEFT JOIN a a2 ON a2.doc_id = b.doc_id AND a2.n = 2
+LEFT JOIN a a3 ON a3.doc_id = b.doc_id AND a3.n = 3
+LEFT JOIN a a5 ON a5.doc_id = b.doc_id AND a5.n = 5
+"""
     return sqls

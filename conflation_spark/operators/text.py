@@ -173,3 +173,97 @@ def bm25_topk(
         .limit(top_k)
         .select(F.col("id").alias(id_col), "score_c")
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple = (2, 3),
+    dup_ns: tuple = (5,),
+) -> DataFrame:
+    """Gopher-style repetition signals per document — the standard
+    public corpus-quality heuristics (Rae et al., "Scaling Language
+    Models: ... Gopher", table A1): for small n the fraction of
+    non-whitespace characters covered by the single MOST COMMON word
+    n-gram (boilerplate headers), for larger n the fraction covered by
+    n-grams occurring more than once (templated/looped text). This
+    implementation counts OVERLAPPING occurrences (each n-gram instance
+    contributes its characters; the fraction is clamped at 1), which
+    keeps both engines' arithmetic identical — documented variant, not
+    Gopher's de-overlapped one.
+
+    Output: id_col, total_chars, then top{n}_frac_c / dup{n}_frac_c
+    columns integerized at 1e6.
+
+    Scale shape: grams explode once per requested n, then a single
+    ``repartition(id)`` lets the (id, n, gram) count, the (id, n)
+    reduction AND the per-id pivot all run on that one exchange
+    (CLAUDE.md rule 10 — hash(id) satisfies every downstream grouping;
+    plan-asserted in tests). No driver collection, no windows."""
+    from functools import reduce
+
+    from conflation_spark.operators.dedup import normalized
+
+    ns = sorted(set(top_ns) | set(dup_ns))
+    toks = F.filter(F.split(normalized(F.col(text_col)), " "), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks")).select(
+        "id",
+        "_toks",
+        F.length(F.concat_ws("", "_toks")).alias("total_chars"),
+    )
+
+    def grams_n(n: int):
+        sz = F.size(F.col("_toks"))
+        return F.when(
+            sz >= n,
+            F.transform(
+                F.sequence(F.lit(0), sz - n),
+                lambda i: F.array_join(F.slice(F.col("_toks"), i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    per_n = [
+        base.select(
+            "id",
+            "total_chars",
+            F.lit(n).alias("_n"),
+            F.explode(grams_n(n)).alias("_g"),
+        )
+        for n in ns
+    ]
+    ex = reduce(lambda a, b: a.unionByName(b), per_n).repartition("id")
+    gl = F.length(F.col("_g")) - (F.col("_n") - 1)  # chars excl. joiner spaces
+    agg = (
+        ex.groupBy("id", "total_chars", "_n", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("id", "total_chars", "_n")
+        .agg(
+            F.max(F.col("_c") * gl).alias("_top"),
+            F.sum(F.when(F.col("_c") >= 2, F.col("_c") * gl).otherwise(0)).alias(
+                "_dup"
+            ),
+        )
+    )
+    piv = (
+        agg.groupBy("id")
+        .pivot("_n", ns)
+        .agg(F.first("_top").alias("top"), F.first("_dup").alias("dup"))
+    )
+    out = base.select("id", "total_chars").join(piv, "id", "left")
+
+    def frac(col, n):
+        num = F.coalesce(col, F.lit(0)).cast("double")
+        f = F.when(
+            F.col("total_chars") > 0,
+            F.least(num / F.col("total_chars"), F.lit(1.0)),
+        ).otherwise(F.lit(0.0))
+        return F.floor(f * 1e6 + F.lit(0.5)).cast("long")
+
+    sel = [F.col("id").alias(id_col), F.col("total_chars").cast("long")]
+    # pivot names columns "<n>_top"/"<n>_dup" for multi-agg pivots
+    for n in top_ns:
+        sel.append(frac(F.col(f"{n}_top"), n).alias(f"top{n}_frac_c"))
+    for n in dup_ns:
+        sel.append(frac(F.col(f"{n}_dup"), n).alias(f"dup{n}_frac_c"))
+    return out.select(*sel)

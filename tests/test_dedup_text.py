@@ -268,3 +268,55 @@ def test_bm25_topk_matches_python(spark):
     assert got == want
     # ranking: doc 'a' (two query terms, short) beats spam doc 'b'
     assert got["a"] > got["b"]
+
+
+def test_repetition_stats_matches_python_oracle(spark):
+    """Gopher-style repetition fractions vs a direct Python computation
+    over the fixture corpus, plus the plan contract: the exploded gram
+    rows shuffle ONCE (the repartition(id)); every later aggregation
+    reuses that partitioning (rule-10 subset co-partitioning)."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    d = ensure_text_fixture("sf0.001")
+    td = spark.read.parquet(f"{d}/textdocs.parquet")
+    out = text.repetition_stats(td, "text_id", "text")
+    got = {
+        r["text_id"]: (
+            r["total_chars"],
+            r["top2_frac_c"],
+            r["top3_frac_c"],
+            r["dup5_frac_c"],
+        )
+        for r in out.collect()
+    }
+
+    def frac(x):
+        return math.floor(min(x, 1.0) * 1e6 + 0.5)
+
+    want = {}
+    for row in td.select("text_id", "text").collect():
+        toks = [t for t in _re.sub(r"\s+", " ", row["text"].strip().lower()).split(" ") if t]
+        total = sum(len(t) for t in toks)
+        vals = [total]
+        for n, kind in ((2, "top"), (3, "top"), (5, "dup")):
+            grams = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            if not grams or total == 0:
+                vals.append(0)
+                continue
+            if kind == "top":
+                chars = max(c * (len(g) - (n - 1)) for g, c in grams.items())
+            else:
+                chars = sum(
+                    c * (len(g) - (n - 1)) for g, c in grams.items() if c >= 2
+                )
+            vals.append(frac(chars / total))
+        want[row["text_id"]] = tuple(vals)
+    assert got == want and len(got) == td.count()
+    # planted exact/near dups are self-repetitive corpora members; the
+    # metric must separate looped text from unique text
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
