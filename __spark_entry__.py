@@ -572,6 +572,24 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.scrub_pii) over the planted-PII
+    fixture: per-type match counts + md5 of the scrubbed text. Pure
+    codegen regex — zero shuffle; the patterns are shared verbatim with
+    the DuckDB twin (both dialects agree on every construct used) and
+    the fixture's truth columns pin the counts at generation time."""
+    from conflation_spark.operators.text import scrub_pii
+
+    d = spark.read.parquet(f"{_text_dir(sf_dir)}/pii_docs.parquet")
+    return scrub_pii(d).select(
+        "pii_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.md5(F.col("scrubbed")).alias("scrubbed_md5"),
+    )
+
+
 def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-span detection (operators/decontam.
     repeated_spans): fraction of each doc's 20-token windows whose exact
@@ -1142,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_clusters": _q_incremental_dedup,
         "decontaminate": _q_decontaminate,
         "repeated_spans": _q_repeated_spans,
+        "scrub_pii": _q_scrub_pii,
         "bm25_topk": _q_bm25_topk,
         "embedding_cosine_pairs": _q_cosine_neardup,
         "ann_topk": _q_ann_topk,
@@ -2256,6 +2275,24 @@ SELECT base.text_id AS doc_id,
             THEN floor(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / base.n_windows * 1e6 + 0.5)
             ELSE 0 END AS BIGINT) AS dup_frac_c
 FROM base LEFT JOIN dup d ON d.text_id = base.text_id
+"""
+    # PII scrub: patterns taken verbatim from text.PII_PATTERNS (both
+    # regex dialects agree on every construct used); counts on the raw
+    # text per type, then the same fixed-order global replacement
+    from conflation_spark.operators.text import PII_PATTERNS
+
+    count_exprs = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}s"
+        for name, pat, _tok in PII_PATTERNS
+    )
+    scrub_expr = "text"
+    for _name, pat, tok in PII_PATTERNS:
+        scrub_expr = f"regexp_replace({scrub_expr}, '{pat}', '{tok}', 'g')"
+    sqls["scrub_pii"] = f"""
+SELECT pii_id,
+       {count_exprs},
+       md5({scrub_expr}) AS scrubbed_md5
+FROM read_parquet('{td}/pii_docs.parquet')
 """
     # Gopher repetition signals: identical gram lists + counting in SQL
     sqls["repetition_stats"] = f"""

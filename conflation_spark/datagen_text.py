@@ -38,6 +38,7 @@ SF_MEDIA = {"sf0.001": 80, "sf0.01": 400, "sf0.1": 1600, "sf1": 6000}
 SF_AUDIO = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1200, "sf1": 4000}
 SF_VIDEO = {"sf0.001": 30, "sf0.01": 150, "sf0.1": 600, "sf1": 2000}
 SF_JPEG = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1200, "sf1": 4000}
+SF_PII = {"sf0.001": 120, "sf0.01": 800, "sf0.1": 3000, "sf1": 10000}
 DIM = 64
 
 
@@ -372,6 +373,49 @@ def gen_video_blobs(out_dir: str, n: int, seed: int = 31) -> None:
     )
 
 
+def gen_pii_docs(out_dir: str, n: int, seed: int = 13) -> None:
+    """Docs with PLANTED PII tokens (emails / IPv4s / +cc-ddd-ddd-dddd
+    phones) at seeded positions among vocab words, plus truth columns
+    n_emails/n_ips/n_phones counted at generation — the scrub_pii
+    operator and its DuckDB twin must both recover these counts exactly.
+    PII tokens are space-delimited and never adjacent to digits, so the
+    three patterns cannot overlap each other or the surrounding text."""
+    rng = np.random.default_rng(seed)
+    tlds = ["com", "org", "net", "io"]
+    texts, n_em, n_ip, n_ph = [], [], [], []
+    for _ in range(n):
+        words = [VOCAB[int(rng.integers(0, len(VOCAB)))] for _ in range(int(rng.integers(10, 40)))]
+        ne = int(rng.choice([0, 1, 2], p=[0.45, 0.35, 0.2]))
+        ni = int(rng.random() < 0.3)
+        np_ = int(rng.random() < 0.3)
+        pii = []
+        for _ in range(ne):
+            w = [VOCAB[int(rng.integers(0, len(VOCAB)))] for _ in range(3)]
+            pii.append(f"{w[0]}.{w[1]}@{w[2]}.{tlds[int(rng.integers(0, len(tlds)))]}")
+        for _ in range(ni):
+            pii.append(".".join(str(int(rng.integers(1, 255))) for _ in range(4)))
+        for _ in range(np_):
+            cc = int(rng.integers(1, 99))
+            a, b, c = (int(rng.integers(0, 10 ** k)) for k in (3, 3, 4))
+            pii.append(f"+{cc}-{a:03d}-{b:03d}-{c:04d}")
+        for tok in pii:
+            words.insert(int(rng.integers(0, len(words) + 1)), tok)
+        texts.append(" ".join(words))
+        n_em.append(ne)
+        n_ip.append(ni)
+        n_ph.append(np_)
+    tbl = pa.table(
+        {
+            "pii_id": pa.array([f"p{i:06d}" for i in range(n)], pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "true_emails": pa.array(n_em, pa.int64()),
+            "true_ips": pa.array(n_ip, pa.int64()),
+            "true_phones": pa.array(n_ph, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "pii_docs.parquet"), row_group_size=512)
+
+
 def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     root = root or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "text"
@@ -379,7 +423,7 @@ def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     if sf_name not in SF_TEXT:
         sf_name = "sf0.01"
     out = os.path.join(root, sf_name)
-    marker = os.path.join(out, "_SUCCESS_v12")
+    marker = os.path.join(out, "_SUCCESS_v13")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
@@ -389,6 +433,7 @@ def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     gen_audio_blobs(out, SF_AUDIO[sf_name])
     gen_video_blobs(out, SF_VIDEO[sf_name])
     gen_jpeg_blobs(out, SF_JPEG[sf_name])
+    gen_pii_docs(out, SF_PII[sf_name])
     with open(marker, "w") as f:
         f.write("ok")
     return out

@@ -109,6 +109,40 @@ def with_fingerprints(df: DataFrame, text_col: str = "text", k: int = 8) -> Data
     )
 
 
+# PII patterns shared verbatim with the DuckDB oracle — every construct
+# (\b, \d, {m,n}, character classes) means the same thing in Java regex
+# (Spark) and RE2 (DuckDB); no lookaround/backrefs, which the dialects
+# disagree on. Redaction order is fixed (email -> ip -> phone) and the
+# patterns cannot overlap: an email swallows its whole token before the
+# IP pattern sees it, IPs have dots where phones have dashes.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{3}-\d{4}", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction pass (the C4-style corpus scrub): per-type match
+    counts on the RAW text (each type counted independently) plus a
+    ``scrubbed`` column with all three types replaced by fixed tokens,
+    in the fixed order email -> ip -> phone.
+
+    Scale shape: pure codegen regex column expressions — zero shuffle,
+    zero Python; a 100 TB scrub is exactly one map stage that fuses
+    with whatever scan or filter surrounds it."""
+    t = F.col(text_col)
+    out = df
+    for name, pat, _tok in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}s", F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
+        )
+    scrub = t
+    for _name, pat, tok in PII_PATTERNS:
+        scrub = F.regexp_replace(scrub, pat, tok)
+    return out.withColumn("scrubbed", scrub)
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 

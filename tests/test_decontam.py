@@ -119,6 +119,42 @@ def test_repeated_spans_stride_and_short_docs(spark):
         repeated_spans(docs, stride=0)
 
 
+def test_scrub_pii_recovers_planted_truth(spark):
+    """Counts must equal the fixture's generation-time truth columns for
+    every doc, and the scrubbed text must contain no residual matches of
+    any pattern."""
+    from conflation_spark.operators.text import PII_PATTERNS, scrub_pii
+
+    d = ensure_text_fixture("sf0.001")
+    df = spark.read.parquet(f"{d}/pii_docs.parquet")
+    s = scrub_pii(df).cache()
+    bad = s.where(
+        (F.col("n_emails") != F.col("true_emails"))
+        | (F.col("n_ips") != F.col("true_ips"))
+        | (F.col("n_phones") != F.col("true_phones"))
+    ).count()
+    assert bad == 0
+    for _name, pat, _tok in PII_PATTERNS:
+        assert s.where(F.col("scrubbed").rlike(pat)).count() == 0, pat
+    # the fixture actually plants every type
+    tot = s.agg(
+        F.sum("n_emails").alias("e"), F.sum("n_ips").alias("i"), F.sum("n_phones").alias("p")
+    ).first()
+    assert tot["e"] > 0 and tot["i"] > 0 and tot["p"] > 0
+    s.unpersist()
+
+
+def test_scrub_pii_zero_shuffle_plan(spark):
+    """The scrub is a pure map: its physical plan must contain no
+    Exchange — one fused codegen stage over the scan."""
+    from conflation_spark.operators.text import scrub_pii
+
+    d = ensure_text_fixture("sf0.001")
+    df = spark.read.parquet(f"{d}/pii_docs.parquet")
+    plan = scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_decontaminate_plan_broadcasts_benchmark(spark, textdocs):
     """The benchmark gram side must broadcast (eval sets are tiny); the
     corpus side must shuffle only once, on the doc id."""
