@@ -240,6 +240,47 @@ def main():
     if not pruned:
         failures.append("incremental IVF search does not bucket-prune the index scan")
 
+    # 12. decontamination: the benchmark gram set must BROADCAST (eval
+    # sets are tiny against the corpus) and the corpus side must shuffle
+    # exactly once (its groupBy(doc id)); the only other shuffle allowed
+    # is the tiny bench-side distinct feeding the broadcast
+    from pyspark.sql import functions as FN
+
+    from conflation_spark.operators.decontam import decontaminate
+
+    tdx = spark.read.parquet(f"{d}/textdocs.parquet")
+    p12 = (
+        decontaminate(
+            tdx.where(~FN.col("text_id").endswith("0")),
+            tdx.where(FN.col("text_id").endswith("0")),
+            "text_id",
+            "text",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_bhj = p12.count("BroadcastHashJoin")
+    n_shuf = p12.count("Exchange hashpartitioning")
+    print(f"[12] decontaminate: BroadcastHashJoin={n_bhj}, shuffles={n_shuf}")
+    if n_bhj != 1 or n_shuf > 2:
+        failures.append(
+            f"decontaminate: want 1 broadcast join + <=2 shuffles, got {n_bhj}/{n_shuf}"
+        )
+
+    # 13. PII scrub is a pure map: zero Exchange, fused with the scan
+    from conflation_spark.operators.text import scrub_pii
+
+    p13 = (
+        scrub_pii(spark.read.parquet(f"{d}/pii_docs.parquet"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    print(f"[13] scrub_pii: Exchange count={p13.count('Exchange')}")
+    if "Exchange" in p13:
+        failures.append("scrub_pii plan contains an Exchange (should be a pure map)")
+
     if failures:
         print("\nFAILURES:")
         for f in failures:
