@@ -718,6 +718,39 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_lang_id(d, "text").select(*cols)
 
 
+# model-based quality scoring constants, mirrored verbatim in the oracles
+QC_BUCKETS = 512  # feature-hash buckets (real fastText ships 2^21)
+LM_VOCAB_K = 32  # retained vocab; fixture has 58/80 types -> OOV path live
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-architecture hashed-ngram quality classifier: unigram +
+    bigram features hashed into QC_BUCKETS buckets, broadcast weight-table
+    join, mean-pooled logit, threshold (operators/lm.quality_classifier).
+    Weights are a deterministic function of the bucket id so the DuckDB
+    twin can derive them inline; the Spark side still ships them through
+    the real broadcast-join machinery."""
+    from conflation_spark.operators.lm import quality_classifier
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    return quality_classifier(td, "text_id", "text", n_buckets=QC_BUCKETS).select(
+        F.col("text_id").alias("doc_id"), "n_features", "logit_c", "is_quality"
+    )
+
+
+def _q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM cross-entropy: smoothed logprob table from
+    the corpus's own top-LM_VOCAB_K tokens (one aggregation + TakeOrdered),
+    all remaining mass on one OOV pseudo-type, per-token logprobs
+    integerized before the per-doc sum (operators/lm.lm_cross_entropy)."""
+    from conflation_spark.operators.lm import lm_cross_entropy
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    return lm_cross_entropy(td, None, "text_id", "text", vocab_k=LM_VOCAB_K).select(
+        F.col("text_id").alias("doc_id"), "n_tokens", "sum_lp_c", "ce_c"
+    )
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.text import with_fingerprints
 
@@ -1202,6 +1235,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_fingerprint": _q_span_fingerprint,
         "rollup_hourly": _q_rollup_hourly,
         "tpch_q6": _q_tpch_q6,
+        # round-5 additions land in the tail until CORRECTNESS_r05
+        # confirms/refutes the 50-row cap; both have exact pure-Python
+        # pytest oracles (tests/test_lm.py) plus these DuckDB twins
+        "quality_classifier": _q_quality_classifier,
+        "lm_cross_entropy": _q_lm_cross_entropy,
     }
 
 
@@ -2319,5 +2357,62 @@ FROM b
 LEFT JOIN a a2 ON a2.doc_id = b.doc_id AND a2.n = 2
 LEFT JOIN a a3 ON a3.doc_id = b.doc_id AND a3.n = 3
 LEFT JOIN a a5 ON a5.doc_id = b.doc_id AND a5.n = 5
+"""
+    # fastText-style hashed-ngram classifier: the weight of bucket b is a
+    # pure function of b (md5-prefix -> [-1e6, 1e6) long), so the twin
+    # derives weights inline where Spark broadcast-joins a weight table;
+    # per-feature weights are longs, the sum is exact, and the only
+    # doubles are the identical IEEE-754 mean/scale expressions
+    def _h52(s):
+        return f"CAST('0x' || substr(md5({s}), 1, 13) AS BIGINT)"
+
+    _feat_bucket = _h52("'ft:' || feat") + f" % {QC_BUCKETS}"
+    _bucket_weight = _h52(f"'w:' || CAST({_feat_bucket} AS VARCHAR)")
+    sqls["quality_classifier"] = f"""
+WITH base AS (SELECT text_id AS id, {_DUCK_TOKS} AS toks
+              FROM read_parquet('{td}/textdocs.parquet')),
+f AS (
+  SELECT id, unnest(toks) AS feat FROM base
+  UNION ALL
+  SELECT id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS feat
+  FROM base WHERE len(toks) >= 2
+),
+w AS (
+  SELECT id,
+         CAST(floor((({_bucket_weight}
+             / 4503599627370496.0) * 2.0 - 1.0) * 1000000.0 + 0.5) AS BIGINT) AS w_c
+  FROM f
+),
+p AS (SELECT id, SUM(w_c) AS sw, COUNT(*) AS n_features FROM w GROUP BY id)
+SELECT id AS doc_id, CAST(n_features AS BIGINT) AS n_features,
+       CAST(floor((CAST(sw AS DOUBLE) / n_features / 1000000.0 + 0.0) * 10000.0 + 0.5) AS BIGINT) AS logit_c,
+       (CAST(floor((CAST(sw AS DOUBLE) / n_features / 1000000.0 + 0.0) * 10000.0 + 0.5) AS BIGINT) >= 0) AS is_quality
+FROM p
+"""
+    # CCNet-style unigram LM: vocab = top-K types (count desc, token asc),
+    # one OOV pseudo-type carries the remaining mass, per-token logprob
+    # integerized at 1e4 BEFORE the per-doc sum (order-independent longs)
+    sqls["lm_cross_entropy"] = f"""
+WITH base AS (SELECT text_id AS id, {_DUCK_TOKS} AS toks
+              FROM read_parquet('{td}/textdocs.parquet')),
+e AS (SELECT id, unnest(toks) AS tok FROM base),
+cnt AS (SELECT tok, COUNT(*) AS c FROM e GROUP BY tok),
+vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT {LM_VOCAB_K}),
+stats AS (SELECT (SELECT SUM(c) FROM cnt) AS n,
+                 (SELECT COUNT(*) FROM vocab) AS v,
+                 (SELECT SUM(c) FROM vocab) AS c_ret),
+t AS (
+  SELECT e.id,
+         CAST(floor(ln((CAST(coalesce(vocab.c, stats.n - stats.c_ret) AS DOUBLE) + 0.5)
+             / (CAST(stats.n AS DOUBLE) + 0.5 * (CAST(stats.v AS DOUBLE) + 1.0)))
+             * 10000.0 + 0.5) AS BIGINT) AS lp_c
+  FROM e LEFT JOIN vocab USING (tok) CROSS JOIN stats
+),
+p AS (SELECT id, SUM(lp_c) AS sum_lp_c, COUNT(*) AS n_tokens FROM t GROUP BY id)
+SELECT id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sum_lp_c AS BIGINT) AS sum_lp_c,
+       CAST(floor(-CAST(sum_lp_c AS DOUBLE) / n_tokens + 0.5) AS BIGINT) AS ce_c
+FROM p
 """
     return sqls
