@@ -158,6 +158,68 @@ def unigram_vocab(
     return cnt.orderBy(F.col("c").desc(), F.col("tok")).limit(vocab_k)
 
 
+MAX_VOCAB_K = 1_000_000  # driver-collect bound for the logprob table
+
+
+def unigram_lm_table(
+    ref_df: DataFrame,
+    text_col: str = "text",
+    vocab_k: int = 4096,
+    alpha: float = LM_ALPHA,
+) -> tuple[list[tuple[str, int]], int]:
+    """Build the smoothed unigram logprob table from the reference
+    corpus: ``([(tok, lp_c), ...], oov_lp_c)`` with lp_c = floor(ln((c +
+    alpha) / (N + alpha * (V + 1))) * 1e4 + 0.5) — additive smoothing
+    over the V retained types plus ONE out-of-vocab pseudo-type that
+    carries the whole residual mass (c_oov = N - sum retained), so
+    probabilities stay proper and c_oov = 0 stays finite.
+
+    Scale shape: the reference corpus is exploded and aggregated ONCE —
+    the (tok, count) table is persisted so the top-k pass and the
+    total-count pass both read the aggregation output instead of
+    re-scanning the corpus (a naive in-plan formulation scans the corpus
+    three times: vocab broadcast + retained-mass stats + total count —
+    3x the dominant cost at the 100 TB tier). The collect is
+    contract-bounded by ``vocab_k`` (<= MAX_VOCAB_K, fail-fast — the
+    similarity.py centroid convention); ln() runs in Python, which both
+    the pytest oracle and DuckDB agree with at the 1e4 floor, and the
+    scoring plan stays free of libm entirely.
+    """
+    import math
+
+    if vocab_k > MAX_VOCAB_K:
+        raise ValueError(
+            f"vocab_k={vocab_k} exceeds the driver-collect bound "
+            f"{MAX_VOCAB_K}; a larger LM belongs in a distributed join"
+        )
+    cnt = (
+        ref_df.select(F.explode(_toks(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    try:
+        vocab_rows = [
+            (r["tok"], r["c"])
+            for r in cnt.orderBy(F.col("c").desc(), F.col("tok"))
+            .limit(vocab_k)
+            .collect()
+        ]
+        n = cnt.agg(F.sum("c")).collect()[0][0] or 0
+    finally:
+        cnt.unpersist()
+    if n == 0:
+        raise ValueError("reference corpus has no tokens; cannot build an LM")
+    v = len(vocab_rows)
+    denom = float(n) + alpha * (float(v) + 1.0)
+
+    def lp_c(c: int) -> int:
+        return math.floor(math.log((float(c) + alpha) / denom) * 1e4 + 0.5)
+
+    c_oov = n - sum(c for _, c in vocab_rows)
+    return [(t, lp_c(c)) for t, c in vocab_rows], lp_c(c_oov)
+
+
 def lm_cross_entropy(
     df: DataFrame,
     ref_df: DataFrame | None = None,
@@ -167,51 +229,36 @@ def lm_cross_entropy(
     alpha: float = LM_ALPHA,
 ) -> DataFrame:
     """CCNet-style unigram-LM scoring: build a smoothed logprob table
-    from the reference corpus (``ref_df``, default: the corpus itself)
-    and score every document by cross-entropy (negative mean token
-    logprob — low = fluent/common text, high = gibberish or
-    out-of-domain; CCNet thresholds these into head/middle/tail).
-
-    The LM: retained vocab = top ``vocab_k`` types; every other token is
-    ONE pseudo-type carrying the whole out-of-vocab mass c_oov =
-    N - sum(retained counts). lp(t) = ln((c_t + alpha) / (N + alpha *
-    (V + 1))) with V the retained-type count — additive smoothing over
-    V+1 types, so probabilities stay proper and c_oov = 0 stays finite.
+    from the reference corpus (``ref_df``, default: the corpus itself —
+    CCNet's deployment trains on a separate wiki corpus) and score every
+    document by cross-entropy (negative mean token logprob — low =
+    fluent/common text, high = gibberish or out-of-domain; CCNet
+    thresholds these into head/middle/tail buckets).
 
     Output: id_col, n_tokens (long), sum_lp_c (long — per-token logprob
     scaled 1e4 and floored BEFORE the sum, exact in any order), ce_c
     (long — floor(-sum_lp_c / n_tokens + 0.5): cross-entropy scaled 1e4).
     Zero-token docs are absent.
 
-    Plan: one shuffle to count reference tokens, TakeOrdered for the
-    vocab, then the scoring pass explodes doc tokens once, left-joins the
-    BROADCAST vocab (null → OOV logprob), and reduces with one hash
-    aggregation on the id.
+    Plan: the LM table build scans the reference corpus once
+    (``unigram_lm_table``); the scoring pass explodes doc tokens once,
+    left-joins the BROADCAST logprob table (null → OOV logprob literal),
+    and reduces with one hash aggregation on the id — one shuffle, no
+    windows, no libm in the distributed plan.
     """
-    ref = ref_df if ref_df is not None else df
-    vocab = unigram_vocab(ref, text_col, vocab_k)
-    stats = vocab.agg(
-        F.sum("c").alias("_c_ret"), F.count(F.lit(1)).alias("_v")
-    ).crossJoin(
-        ref.select(F.explode(_toks(F.col(text_col))).alias("tok")).agg(
-            F.count(F.lit(1)).alias("_n")
-        )
+    spark = df.sparkSession
+    table, oov_lp_c = unigram_lm_table(
+        ref_df if ref_df is not None else df, text_col, vocab_k, alpha
     )
+    lp_table = spark.createDataFrame(table, "tok string, lp_c long")
     toks = (
         df.select(F.col(id_col).alias("id"), _toks(F.col(text_col)).alias("_t"))
         .where(F.size("_t") >= 1)
         .select("id", F.explode("_t").alias("tok"))
     )
-    c_eff = F.coalesce(F.col("c"), F.col("_n") - F.col("_c_ret")).cast("double")
-    lp = F.log(
-        (c_eff + F.lit(alpha))
-        / (F.col("_n").cast("double") + F.lit(alpha) * (F.col("_v").cast("double") + F.lit(1.0)))
-    )
-    lp_c = F.floor(lp * F.lit(1e4) + F.lit(0.5)).cast("long")
     scored = (
-        toks.join(F.broadcast(vocab), "tok", "left")
-        .crossJoin(F.broadcast(stats))
-        .select("id", lp_c.alias("lp_c"))
+        toks.join(F.broadcast(lp_table), "tok", "left")
+        .select("id", F.coalesce(F.col("lp_c"), F.lit(oov_lp_c)).alias("lp_c"))
         .groupBy("id")
         .agg(F.sum("lp_c").alias("sum_lp_c"), F.count(F.lit(1)).alias("n_tokens"))
     )

@@ -281,6 +281,52 @@ def main():
     if "Exchange" in p13:
         failures.append("scrub_pii plan contains an Exchange (should be a pure map)")
 
+    # 14. quality classifier: explode -> broadcast weight join -> ONE
+    # hash aggregation on the doc id; a SortMergeJoin or a second
+    # shuffle here means the B-row weight table stopped broadcasting
+    from conflation_spark.operators.lm import quality_classifier
+
+    p14 = (
+        quality_classifier(tdx, "text_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_bhj14 = p14.count("BroadcastHashJoin")
+    n_shuf14 = p14.count("Exchange hashpartitioning")
+    print(f"[14] quality_classifier: BroadcastHashJoin={n_bhj14}, shuffles={n_shuf14}")
+    if n_bhj14 != 1 or n_shuf14 != 1:
+        failures.append(
+            f"quality_classifier: want 1 broadcast join + 1 shuffle, got {n_bhj14}/{n_shuf14}"
+        )
+
+    # 15. LM scoring pass: the logprob table is built in its own bounded
+    # job (unigram_lm_table), so the returned plan must be explode ->
+    # broadcast lp-table join -> ONE hash aggregation — and contain no
+    # nested-loop join and no log() (the naive formulation cross-joined
+    # 1-row stats and re-scanned the ref corpus three times)
+    from conflation_spark.operators.lm import lm_cross_entropy
+
+    p15 = (
+        lm_cross_entropy(tdx, None, "text_id", "text", vocab_k=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_bhj15 = p15.count("BroadcastHashJoin")
+    n_shuf15 = p15.count("Exchange hashpartitioning")
+    n_nlj15 = p15.count("NestedLoopJoin")
+    n_scans15 = p15.count("FileScan parquet")
+    print(
+        f"[15] lm_cross_entropy scoring: BroadcastHashJoin={n_bhj15}, "
+        f"shuffles={n_shuf15}, nested-loop={n_nlj15}, corpus scans={n_scans15}"
+    )
+    if n_bhj15 != 1 or n_shuf15 != 1 or n_nlj15 != 0 or n_scans15 != 1:
+        failures.append(
+            "lm_cross_entropy scoring plan regressed (want 1 BHJ, 1 shuffle, "
+            f"0 NLJ, 1 scan; got {n_bhj15}/{n_shuf15}/{n_nlj15}/{n_scans15})"
+        )
+
     if failures:
         print("\nFAILURES:")
         for f in failures:
