@@ -476,6 +476,48 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_RERANK = 40  # ADC shortlist size for the re-ranked PQ query
+
+
+def _pq_codebooks(sf_dir: str):
+    """PQ codebooks for the query AND its oracle: trained with the shared
+    numpy kernel on the same deterministic sample as _ivf_centroids, so
+    both engines regenerate identical codebook literals."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from conflation_spark.functions.kernels import kmeans_lloyd
+    from conflation_spark.operators.similarity import PQ_M_SUB, PQ_N_CENTS
+
+    t = pq.read_table(f"{_text_dir(sf_dir)}/vectors.parquet", columns=["vec_id", "vec"])
+    order = np.argsort(np.array(t["vec_id"].to_pylist()), kind="stable")[:2048]
+    x = np.array(t["vec"].to_pylist(), dtype=np.float64)[order]
+    dsub = x.shape[1] // PQ_M_SUB
+    return np.stack(
+        [
+            kmeans_lloyd(x[:, m * dsub : (m + 1) * dsub], PQ_N_CENTS)
+            for m in range(PQ_M_SUB)
+        ]
+    )
+
+
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank: the corpus is scanned
+    in the COMPRESSED domain (m_sub codes/vector — the 100 TB scan-size
+    story), a per-query ADC shortlist of PQ_RERANK candidates survives,
+    and only those gather raw vectors for exact cosine ranking
+    (operators/similarity.pq_topk). Codebooks come from the shared
+    deterministic trainer so the DuckDB twin re-derives the same codes."""
+    from conflation_spark.operators.similarity import pq_topk
+
+    v = spark.read.parquet(f"{_text_dir(sf_dir)}/vectors.parquet")
+    q = v.orderBy("vec_id").limit(20).selectExpr("vec_id as query_id", "vec")
+    return pq_topk(
+        v, q, k=10, id_col="vec_id", vec_col="vec",
+        codebooks=_pq_codebooks(sf_dir), rerank=PQ_RERANK,
+    )
+
+
 # corpus/delta split for the incremental-IVF query (ids are v000000..)
 IVF_INCR_SPLIT = "v000200"
 
@@ -1240,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest oracles (tests/test_lm.py) plus these DuckDB twins
         "quality_classifier": _q_quality_classifier,
         "lm_cross_entropy": _q_lm_cross_entropy,
+        "ann_pq_topk": _q_ann_pq,
     }
 
 
@@ -1373,6 +1416,62 @@ SELECT query_id, neighbor_id,
        cosine_c
 FROM sc QUALIFY rank <= 10
 """
+    # PQ oracle: codebook literals from the SAME shared-kernel training
+    # (_pq_codebooks); codes re-derived per vector as argmin list_distance
+    # per subspace, ADC terms integerized at 1e4 BEFORE the (exact long)
+    # sum, shortlist of PQ_RERANK by (adc_c, id), exact-cosine re-rank —
+    # mirroring pq_topk stage for stage
+    books = _pq_codebooks("/root/testdata/sf0.01")
+    pq_m, pq_c, pq_d = books.shape
+
+    def _sub(m):
+        return f"vec[{m * pq_d + 1}:{(m + 1) * pq_d}]"
+
+    def _qsub(m):
+        return f"qvec[{m * pq_d + 1}:{(m + 1) * pq_d}]"
+
+    code_cols = ",\n       ".join(
+        "CAST(array_position({dl}, list_min({dl})) - 1 AS BIGINT) AS code_{m}".format(
+            dl="[" + ", ".join(f"list_distance({_sub(m)}, {_arr(c)})" for c in books[m]) + "]",
+            m=m,
+        )
+        for m in range(pq_m)
+    )
+    nested = {
+        m: "[" + ", ".join(_arr(c) for c in books[m]) + "]" for m in range(pq_m)
+    }
+    adc_terms = " + ".join(
+        f"CAST(floor(pow(list_distance({_qsub(m)}, ({nested[m]})[CAST(a.code_{m} AS INT) + 1]), 2) * 10000.0 + 0.5) AS BIGINT)"
+        for m in range(pq_m)
+    )
+    sqls_pq = f"""
+WITH va AS (
+  SELECT vec_id, vec,
+       {code_cols}
+  FROM read_parquet('{td}/vectors.parquet')
+),
+q AS (SELECT vec_id AS query_id, vec AS qvec
+      FROM read_parquet('{td}/vectors.parquet') ORDER BY vec_id LIMIT 20),
+adc AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id, q.qvec, a.vec,
+         {adc_terms} AS adc_c
+  FROM q CROSS JOIN va a
+  WHERE q.query_id <> a.vec_id
+),
+short AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_c, neighbor_id) AS adc_rank
+  FROM adc QUALIFY adc_rank <= {PQ_RERANK}
+),
+sc AS (
+  SELECT query_id, neighbor_id,
+         CAST(floor(list_cosine_similarity(qvec, vec) * 1000000 + 0.5) AS BIGINT) AS cosine_c
+  FROM short
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_c DESC, neighbor_id) AS BIGINT) AS rank,
+       cosine_c
+FROM sc QUALIFY rank <= 10
+"""
     # point-in-polygon crossing sum: generated from the same PIP_POLY
     # literals with the identical IEEE expression tree as the Spark side
     pip_edges = []
@@ -1386,6 +1485,7 @@ FROM sc QUALIFY rank <= 10
         )
     pip_sum = " + ".join(pip_edges)
     sqls = {
+        "ann_pq_topk": sqls_pq,
         "ann_ivf_topk": ivf_sql,
         # incremental IVF: end state == full rebuild at fixed centroids,
         # so the oracle is the same assignment/probe SQL with the

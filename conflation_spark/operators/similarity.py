@@ -243,6 +243,174 @@ def ivf_topk(
     return _topk_window(scored, k)
 
 
+PQ_M_SUB = 8  # subspaces; each codes dim/M dims through its own codebook
+PQ_N_CENTS = 32  # centroids per subspace codebook (256 in classic PQ)
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m_sub: int = PQ_M_SUB,
+    n_cents: int = PQ_N_CENTS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 2048,
+    iters: int = 8,
+) -> np.ndarray:
+    """Product-quantization codebooks: split the vector into ``m_sub``
+    contiguous subspaces and train an independent ``n_cents``-centroid
+    Lloyd k-means per subspace on the same BOUNDED ordered sample the IVF
+    trainer uses (the corpus is never collected). Returns
+    (m_sub, n_cents, dim // m_sub) float64 — deterministic via the shared
+    ``kmeans_lloyd`` kernel, so the DuckDB oracle regenerates identical
+    codebook literals."""
+    from conflation_spark.functions.kernels import kmeans_lloyd
+
+    rows = embeddings.orderBy(id_col).limit(train_sample).select(vec_col).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    return np.stack(
+        [kmeans_lloyd(x[:, m * dsub : (m + 1) * dsub], n_cents, iters) for m in range(m_sub)]
+    )
+
+
+def pq_encode_udf(codebooks: np.ndarray):
+    """pandas_udf: array<double> vector -> array<long> of ``m_sub`` codes
+    (argmin squared distance per subspace — one vectorized pass per Arrow
+    batch; same explicit (x - c)^2 form as the oracle's list_distance
+    argmin, so assignments agree across engines). Nondeterministic-marked
+    as a planning fence (kernel is pure), matching ``signature_udf``."""
+    m_sub, _, dsub = codebooks.shape
+
+    def enc(col: pd.Series) -> pd.Series:
+        mat = stack_vectors(col)
+        codes = np.empty((len(mat), m_sub), dtype=np.int64)
+        for m in range(m_sub):
+            sub = mat[:, m * dsub : (m + 1) * dsub]
+            d2 = ((sub[:, None, :] - codebooks[m][None, :, :]) ** 2).sum(-1)
+            codes[:, m] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return F.pandas_udf(enc, "array<long>").asNondeterministic()
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus -> (id, codes): the stored PQ index. ``m_sub`` small ints
+    per vector replace dim doubles — the 100 TB story: a 64-dim float64
+    corpus (512 B/vector) compresses to 8 codes (~8-16 B/vector), so the
+    exhaustive ADC scan reads ~50x fewer bytes than brute force while the
+    raw vectors stay in cold storage for optional exact re-ranking."""
+    return embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_encode_udf(codebooks)(F.col(vec_col)).alias("codes"),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m_sub: int = PQ_M_SUB,
+    n_cents: int = PQ_N_CENTS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codebooks: np.ndarray | None = None,
+    max_queries: int = MAX_QUERY_SET,
+    rerank: int = 0,
+) -> DataFrame:
+    """Product-quantization ANN top-k by asymmetric distance computation
+    (ADC, Jégou et al. 2011): encode the corpus once, then score every
+    (query, vector) pair as sum_m LUT_q[m, code_m] where LUT_q holds the
+    squared distances from the query's m-th subvector to that subspace's
+    centroids. The scan touches ONLY the codes column; per-vector work is
+    an m_sub-element integer gather — no floating point in the
+    distributed pass.
+
+    Cross-engine determinism: LUT entries are integerized at 1e4
+    (floor(d2 * 1e4 + 0.5)) BEFORE summation, so ``adc_c`` is an exact
+    long sum in any order (the bm25 convention). The LUT doubles
+    themselves carry the repo's documented 1-ulp caveat (numpy pairwise
+    sum vs SQL's sqrt-then-square) — only at an exact .5 boundary of the
+    1e4 floor could engines diverge, the same class as the cosine floors.
+
+    Output with ``rerank=0``: (query_id, neighbor_id, rank, adc_c) —
+    rank by (adc_c asc, neighbor_id asc); self-matches excluded. ADC
+    cannot rank WITHIN a quantization cell (cluster members share codes,
+    so their adc_c ties), which is why deployments re-rank: with
+    ``rerank=R > 0`` the ADC pass keeps a per-query shortlist of R
+    candidates, gathers their RAW vectors (broadcast pair set, corpus
+    scanned once — the lsh_topk gather), scores exact cosine, and
+    returns (query_id, neighbor_id, rank, cosine_c) like the other ANN
+    operators. The compressed scan does the N-scale work; the exact pass
+    touches only Q x R vectors.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(embeddings, m_sub, n_cents, id_col, vec_col)
+    m_sub, n_cents, dsub = codebooks.shape
+    qids, qmat, _ = _collect_query_matrix(queries, query_id_col, vec_col, max_queries)
+    luts = np.empty((len(qids), m_sub, n_cents), dtype=np.int64)
+    for m in range(m_sub):
+        qsub = qmat[:, m * dsub : (m + 1) * dsub]
+        d2 = ((qsub[:, None, :] - codebooks[m][None, :, :]) ** 2).sum(-1)
+        luts[:, m, :] = np.floor(d2 * 1e4 + 0.5).astype(np.int64)
+    marange = np.arange(m_sub)
+    keep = rerank if rerank else k
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy().astype("U")
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            out = []
+            for qi in range(len(qids)):
+                mask = ids != qids[qi]
+                if not mask.any():
+                    continue
+                d = luts[qi, marange[None, :], codes[mask]].sum(axis=1)
+                nb = ids[mask]
+                sel = np.lexsort((nb, d))[:keep]  # batch-local top-keep, total order
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qids[qi], "neighbor_id": nb[sel], "adc_c": d[sel]}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = pq_encode(embeddings, codebooks, id_col, vec_col).mapInPandas(
+        op, schema="query_id string, neighbor_id string, adc_c long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_c").asc(), F.col("neighbor_id").asc()
+    )
+    adc_ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= (rerank if rerank else k))
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "adc_c"
+        )
+    )
+    if not rerank:
+        return adc_ranked
+    qv = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    ev = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("evec"))
+    shortlist = adc_ranked.select("query_id", "neighbor_id")
+    joined = F.broadcast(shortlist.join(F.broadcast(qv), "query_id")).join(ev, "neighbor_id")
+    exact = joined.select("query_id", "qvec", "neighbor_id", "evec").mapInPandas(
+        _cosine_pairs_kernel, schema=TOPK_SCHEMA
+    )
+    return _topk_window(exact, k)
+
+
 def lsh_tables_udf(planes: np.ndarray, n_tables: int):
     """pandas_udf: array<double> column -> array of n_tables bucket ids
     (one banded matmul per Arrow batch; each band is one LSH table).

@@ -245,3 +245,97 @@ def test_video_frames_real_decode_matches_planted_truth(spark):
 def test_video_decode_raises_on_garbage():
     with pytest.raises(ValueError):
         multimodal.decode_video_frames(b"not a y4m stream")
+
+
+def _pq_local(rows, query_ids, m_sub, n_cents, k):
+    """Exact Python ADC oracle: shared-kernel codebooks, argmin encoding,
+    integerized LUT gather-sum — mirrors pq_topk's documented math."""
+    import math
+
+    from conflation_spark.functions.kernels import kmeans_lloyd
+
+    ids = sorted(r["vec_id"] for r in rows)
+    v = {r["vec_id"]: np.array(r["vec"], dtype=np.float64) for r in rows}
+    x = np.array([v[i] for i in ids[:2048]])
+    dsub = x.shape[1] // m_sub
+    books = [kmeans_lloyd(x[:, m * dsub:(m + 1) * dsub], n_cents) for m in range(m_sub)]
+    codes = {}
+    for i in ids:
+        codes[i] = [
+            int(np.argmin(((v[i][m * dsub:(m + 1) * dsub] - books[m]) ** 2).sum(-1)))
+            for m in range(m_sub)
+        ]
+    out = {}
+    for q in query_ids:
+        lut = [
+            [
+                math.floor(((v[q][m * dsub:(m + 1) * dsub] - books[m][c]) ** 2).sum() * 1e4 + 0.5)
+                for c in range(n_cents)
+            ]
+            for m in range(m_sub)
+        ]
+        scored = sorted(
+            (sum(lut[m][codes[n][m]] for m in range(m_sub)), n)
+            for n in ids
+            if n != q
+        )
+        out[q] = [(n, r + 1, d) for r, (d, n) in enumerate(scored[:k])]
+    return out
+
+
+def test_pq_topk_matches_python_adc_oracle(spark, vectors):
+    rows = vectors.collect()
+    query_ids = sorted(r["vec_id"] for r in rows)[:10]
+    queries = vectors.where(F.col("vec_id").isin(query_ids)).selectExpr(
+        "vec_id as query_id", "vec"
+    )
+    got = {}
+    res = similarity.pq_topk(
+        vectors, queries, k=5, m_sub=8, n_cents=16, id_col="vec_id", vec_col="vec"
+    )
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["rank"], r["adc_c"]))
+    want = _pq_local(rows, query_ids, m_sub=8, n_cents=16, k=5)
+    for q in query_ids:
+        assert sorted(got[q], key=lambda x: x[1]) == want[q], q
+
+
+def test_pq_rerank_finds_true_neighbors(spark, vectors):
+    """ADC alone cannot rank within a quantization cell (cluster members
+    share codes -> adc ties); the exact re-rank stage resolves it: every
+    planted near-dup query finds its twin at rank 1, matching brute
+    force. Also pins the ADC shortlist's recall: the twin must SURVIVE
+    the compressed-domain pass to be re-rankable at all."""
+    kinds = {r["vec_id"]: r["kind"] for r in vectors.collect()}
+    near_dups = [v for v, k in sorted(kinds.items()) if k == "near_dup"][:20]
+    queries = vectors.where(F.col("vec_id").isin(near_dups)).selectExpr(
+        "vec_id as query_id", "vec"
+    )
+    bf = similarity.brute_force_topk(vectors, queries, k=1, id_col="vec_id", vec_col="vec")
+    pq = similarity.pq_topk(
+        vectors, queries, k=1, id_col="vec_id", vec_col="vec", rerank=32
+    )
+    bf_top1 = {r["query_id"]: r["neighbor_id"] for r in bf.collect() if r["rank"] == 1}
+    pq_top1 = {r["query_id"]: r["neighbor_id"] for r in pq.collect() if r["rank"] == 1}
+    assert near_dups and all(pq_top1.get(q) == bf_top1[q] for q in near_dups)
+
+
+def test_pq_encode_compression_shape(spark, vectors):
+    """The stored index carries m_sub small codes per vector — the scan
+    -size story — and every code addresses a real codebook row."""
+    books = similarity.train_pq_codebooks(
+        vectors, m_sub=8, n_cents=16, id_col="vec_id", vec_col="vec"
+    )
+    assert books.shape == (8, 16, 8)
+    enc = similarity.pq_encode(vectors, books, id_col="vec_id", vec_col="vec")
+    rows = enc.collect()
+    assert len(rows) == vectors.count()
+    assert all(len(r["codes"]) == 8 and all(0 <= c < 16 for c in r["codes"]) for r in rows)
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    bad = spark.createDataFrame(
+        [("a", [1.0, 2.0, 3.0])], "vec_id string, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.train_pq_codebooks(bad, m_sub=2, n_cents=2, id_col="vec_id", vec_col="vec")
