@@ -793,6 +793,49 @@ def _q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SOURCE_CAP = 10  # per-source cap for the gated query (sources hold ~25 docs)
+
+
+def _q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-domain dominance cap: keep the SOURCE_CAP
+    lowest-(md5, id) docs of each source — deterministic under reruns and
+    partitioning, skew-safe via salted two-phase ranking + Spark 4
+    map-side WindowGroupLimit pruning (operators/corpus.per_source_cap)."""
+    from conflation_spark.operators.corpus import per_source_cap
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return per_source_cap(d, SOURCE_CAP).select("doc_id", "source", "cap_rank")
+
+
+def _q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition report (operators/corpus.source_stats):
+    one hash aggregation; the mean is exact long arithmetic (total*100 div
+    n), never a cross-engine double."""
+    from conflation_spark.operators.corpus import source_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_stats(d)
+
+
+def _q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment at the DEDUP-CLUSTER level:
+    every member of a near-dup cluster (the dedup_clusters labels) shares
+    a split, so no held-out doc has a near-duplicate in train
+    (operators/corpus.cluster_safe_split; md5-threshold machinery of
+    sampling.py applied to the cluster id)."""
+    from conflation_spark.operators.cluster import dedup_clusters
+    from conflation_spark.operators.corpus import cluster_safe_split
+    from conflation_spark.operators.dedup import ngram_jaccard_pairs
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    pairs = ngram_jaccard_pairs(td, "text_id", "text", 3, 0.8, max_doc_freq=NGRAM_MAX_DF)
+    labels = dedup_clusters(td, pairs, id_col="text_id")
+    out = cluster_safe_split(
+        td, labels.select("text_id", "cluster_id"), id_col="text_id"
+    )
+    return out.select(F.col("text_id").alias("doc_id"), "cluster_id", "split")
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.text import with_fingerprints
 
@@ -1283,6 +1326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "lm_cross_entropy": _q_lm_cross_entropy,
         "ann_pq_topk": _q_ann_pq,
+        "per_source_cap": _q_per_source_cap,
+        "source_stats": _q_source_stats,
+        "cluster_safe_split": _q_cluster_safe_split,
     }
 
 
@@ -2457,6 +2503,39 @@ FROM b
 LEFT JOIN a a2 ON a2.doc_id = b.doc_id AND a2.n = 2
 LEFT JOIN a a3 ON a3.doc_id = b.doc_id AND a3.n = 3
 LEFT JOIN a a5 ON a5.doc_id = b.doc_id AND a5.n = 5
+"""
+    # corpus-composition twins. per_source_cap: the oracle needs no salt
+    # phases — the two-phase Spark ranking is EXACT (pytest-invariant), so
+    # one window reproduces it. cluster_safe_split: reuse the
+    # dedup_clusters recursive-CTE SQL as a subquery and apply the same
+    # md5 cumulative-threshold CASE to the cluster id.
+    sqls["per_source_cap"] = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS hh
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS BIGINT) AS cap_rank
+FROM h QUALIFY cap_rank <= {SOURCE_CAP}
+"""
+    sqls["source_stats"] = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) * 100 // count(*) AS BIGINT) AS mean_chars_c,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source
+"""
+    t_test = _thr_hex(0.05, 8)
+    t_train = _thr_hex(0.95, 8)
+    sqls["cluster_safe_split"] = f"""
+WITH dc AS ({sqls["dedup_clusters"]})
+SELECT doc_id, cluster_id,
+       CASE WHEN substr(md5(cluster_id), 1, 8) < '{t_test}' THEN 'test'
+            WHEN substr(md5(cluster_id), 1, 8) < '{t_train}' THEN 'train'
+            ELSE 'val' END AS split
+FROM dc
 """
     # fastText-style hashed-ngram classifier: the weight of bucket b is a
     # pure function of b (md5-prefix -> [-1e6, 1e6) long), so the twin
