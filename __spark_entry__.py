@@ -476,6 +476,26 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_GRAPH_THRESHOLD = 0.8  # cosine cut for the similarity-graph pagerank query
+
+
+def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-density centrality (the SemDeDup/D4 pruning signal):
+    integer-exact PageRank over the LSH-banded cosine-pair graph at a
+    loose 0.8 cut (operators/graph.similarity_pagerank). Ranks are scaled
+    longs end-to-end — per-edge contributions use exact integer division,
+    so results are bit-equal at any parallelism and in the DuckDB twin's
+    unrolled per-iteration CTEs."""
+    from conflation_spark.operators.dedup import embedding_cosine_pairs
+    from conflation_spark.operators.graph import similarity_pagerank
+
+    v = spark.read.parquet(f"{_text_dir(sf_dir)}/vectors.parquet")
+    pairs = embedding_cosine_pairs(v, "vec_id", "vec", PR_GRAPH_THRESHOLD)
+    return similarity_pagerank(v, pairs, id_col="vec_id").select(
+        F.col("vec_id").alias("doc_id"), "rank_c"
+    )
+
+
 PQ_RERANK = 40  # ADC shortlist size for the re-ranked PQ query
 
 
@@ -1329,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_cap": _q_per_source_cap,
         "source_stats": _q_source_stats,
         "cluster_safe_split": _q_cluster_safe_split,
+        "graph_pagerank": _q_graph_pagerank,
     }
 
 
@@ -1407,6 +1428,28 @@ def _duck_hist_level(lvl: str, src: str, part: str) -> str:
          CAST(0 AS DOUBLE) + (CAST(bin AS DOUBLE) + (CAST(0.5 AS DOUBLE)*CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE))/CAST(n AS DOUBLE)) * {width} AS median_kph
   FROM {lvl}_h WHERE rn = 1
 ),
+"""
+
+
+def _emb_pairs_sql(td: str, threshold: float) -> str:
+    """Hyperplane-LSH banded near-dup pair SQL (the embedding_cosine_pairs
+    twin), threshold-parameterized so the pagerank oracle can reuse it at
+    a looser cut. Candidates come from the fixture's precomputed
+    emb_bands (shared banded-signature kernel); cosine verified exact."""
+    return f"""
+WITH v AS (SELECT vec_id, vec, emb_bands FROM read_parquet('{td}/vectors.parquet')),
+bands AS (
+  SELECT vec_id, unnest(range(12)) AS band_idx, unnest(emb_bands) AS band_val FROM v
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(floor(list_cosine_similarity(va.vec, vb.vec) * 10000 + 0.5) AS BIGINT) AS cosine_c
+FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b
+WHERE list_cosine_similarity(va.vec, vb.vec) >= {threshold}
 """
 
 
@@ -1790,21 +1833,7 @@ FROM sc QUALIFY rank <= 10
         # checks the probabilistic candidate set itself, not an exact
         # all-pairs twin that only agrees when no pair sits near the
         # threshold boundary
-        "embedding_cosine_pairs": f"""
-WITH v AS (SELECT vec_id, vec, emb_bands FROM read_parquet('{td}/vectors.parquet')),
-bands AS (
-  SELECT vec_id, unnest(range(12)) AS band_idx, unnest(emb_bands) AS band_val FROM v
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
-)
-SELECT c.id_a, c.id_b,
-       CAST(floor(list_cosine_similarity(va.vec, vb.vec) * 10000 + 0.5) AS BIGINT) AS cosine_c
-FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b
-WHERE list_cosine_similarity(va.vec, vb.vec) >= 0.95
-""",
+        "embedding_cosine_pairs": _emb_pairs_sql(td, 0.95),
         # media metadata: blobs rebuilt byte-identically in SQL
         # (content = unhex(sha256(media_ref))); the digest is sha256 over
         # the UPPERCASE hex encoding because DuckDB 1.0 hashes VARCHAR only
@@ -2526,6 +2555,45 @@ SELECT source,
        CAST(sum(length(text)) * 100 // count(*) AS BIGINT) AS mean_chars_c,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
 FROM documents GROUP BY source
+"""
+    # integer pagerank: edges from the threshold-parameterized pair SQL,
+    # iterations unrolled as chained CTEs with IDENTICAL long arithmetic
+    # ((rank * 85) // (100 * outdeg), teleport (scale*15)//100) — exact
+    # equality by construction, no double ever crosses engines
+    from conflation_spark.operators.graph import (
+        PR_DAMPING_DEN,
+        PR_DAMPING_NUM,
+        PR_ITERS,
+        PR_SCALE,
+    )
+
+    pr_tele = (PR_SCALE * (PR_DAMPING_DEN - PR_DAMPING_NUM)) // PR_DAMPING_DEN
+    pr_iters = "".join(
+        f"""c{i} AS (
+  SELECT s.dst AS id,
+         CAST(sum((r.rank * {PR_DAMPING_NUM}) // ({PR_DAMPING_DEN} * d.outdeg)) AS BIGINT) AS m
+  FROM sym s JOIN deg d ON d.src = s.src JOIN r{i - 1} r ON r.id = s.src
+  GROUP BY s.dst
+),
+r{i} AS (
+  SELECT n.id, CAST({pr_tele} + coalesce(c{i}.m, 0) AS BIGINT) AS rank
+  FROM n LEFT JOIN c{i} USING (id)
+),
+"""
+        for i in range(1, PR_ITERS + 1)
+    )
+    sqls["graph_pagerank"] = f"""
+WITH p AS ({_emb_pairs_sql(td, PR_GRAPH_THRESHOLD)}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+n AS (SELECT vec_id AS id FROM read_parquet('{td}/vectors.parquet')),
+r0 AS (SELECT id, CAST({PR_SCALE} AS BIGINT) AS rank FROM n),
+{pr_iters}fin AS (SELECT id, rank FROM r{PR_ITERS})
+SELECT id AS doc_id, rank AS rank_c FROM fin
 """
     t_test = _thr_hex(0.05, 8)
     t_train = _thr_hex(0.95, 8)
