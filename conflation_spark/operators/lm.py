@@ -77,16 +77,21 @@ def classifier_features(text: Column) -> Column:
     """Unigram + bigram word features (non-distinct — fastText pools over
     OCCURRENCES, so a repeated token weighs more). Docs with one token
     have no bigrams; empty docs have no features and drop out of the
-    scored output (documented contract)."""
+    scored output (documented contract).
+
+    Perf shape (CLAUDE.md rule 3): the bigram lambda must NOT capture the
+    ``toks`` expression subtree — HOF lambdas are interpreted and
+    re-evaluate captured children PER ELEMENT, so an index-based
+    ``slice(toks, i, 2)`` form re-ran the regex tokenizer O(len) times
+    per doc (measured 8.1 s -> 1.0 s class at sf0.1). Zipping two slices
+    leaves the lambda touching only its bound struct variable."""
     toks = _toks(text)
     sz = F.size(toks)
-    bigrams = F.when(
-        sz >= 2,
-        F.transform(
-            F.sequence(F.lit(1), sz - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(sz - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(sz - 1, F.lit(0))),
+    )
+    bigrams = F.transform(pairs, lambda s: F.concat_ws(" ", s["0"], s["1"]))
     return F.concat(toks, bigrams)
 
 
@@ -113,13 +118,12 @@ def quality_classifier(
     independent; only the final mean/bias arithmetic is floating point,
     and it is identical IEEE-754 double math in both engines.
     """
-    feats = (
-        df.select(
-            F.col(id_col).alias("id"), classifier_features(F.col(text_col)).alias("_f")
-        )
-        .where(F.size("_f") >= 1)
-        .select("id", F.explode("_f").alias("feat"))
-    )
+    # no pre-explode size filter: explode drops empty arrays itself, and
+    # a Filter here re-evaluates the whole feature expression twice more
+    # (constraint inference duplicates it below the exchange — rule 8)
+    feats = df.select(
+        F.col(id_col).alias("id"), classifier_features(F.col(text_col)).alias("_f")
+    ).select("id", F.explode("_f").alias("feat"))
     bucket = F.pmod(
         _h52(F.concat(F.lit(CLASSIFIER_SALT + ":"), F.col("feat"))), F.lit(n_buckets)
     ).alias("bucket")
@@ -251,10 +255,8 @@ def lm_cross_entropy(
         ref_df if ref_df is not None else df, text_col, vocab_k, alpha
     )
     lp_table = spark.createDataFrame(table, "tok string, lp_c long")
-    toks = (
-        df.select(F.col(id_col).alias("id"), _toks(F.col(text_col)).alias("_t"))
-        .where(F.size("_t") >= 1)
-        .select("id", F.explode("_t").alias("tok"))
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(_toks(F.col(text_col))).alias("tok")
     )
     scored = (
         toks.join(F.broadcast(lp_table), "tok", "left")
