@@ -476,6 +476,27 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenizer trained on the corpus's own word-frequency
+    table (one distributed pass + bounded driver merge loop) and applied
+    in a single mapInPandas encode pass (operators/bpe.py). NO DuckDB
+    twin — greedy rank-ordered merge application is iterative and not
+    SQL-expressible; the driver records the rows-only check and
+    correctness is pytest-gated instead (hand-derived Sennrich merges +
+    an independently-written Python encoder, tests/test_bpe.py)."""
+    from conflation_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe,
+        word_frequency_table,
+    )
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    merges = train_bpe(word_frequency_table(td, max_words=2048), 256)
+    return bpe_encode(td, merges, "text_id").select(
+        F.col("text_id").alias("doc_id"), "n_words", "n_pieces", "pieces_fp"
+    )
+
+
 PR_GRAPH_THRESHOLD = 0.8  # cosine cut for the similarity-graph pagerank query
 
 
@@ -1350,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": _q_source_stats,
         "cluster_safe_split": _q_cluster_safe_split,
         "graph_pagerank": _q_graph_pagerank,
+        "bpe_tokens": _q_bpe_tokens,
     }
 
 
