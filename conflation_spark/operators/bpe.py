@@ -24,8 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from conflation_spark.operators.dedup import normalized
-
 EOW = "▁"  # end-of-word marker (the SentencePiece block char)
 MAX_TRAIN_WORDS = 1_000_000  # driver-collect bound for the merge loop
 
@@ -36,24 +34,20 @@ def word_frequency_table(
     max_words: int = 65_536,
 ) -> list[tuple[str, int]]:
     """(word, count) pairs for the ``max_words`` most frequent normalized
-    whitespace words — ONE distributed explode + hash aggregation, then a
-    TakeOrdered cap with the deterministic (count desc, word asc)
-    tie-break. Truncating to the top words is the standard practice (the
-    tail carries negligible mass and would otherwise make the merge loop
-    O(type count)); the collect is contract-bounded and fail-fast."""
+    whitespace words — the shared `lm.unigram_vocab` subplan (ONE
+    distributed explode + hash aggregation + TakeOrdered with the
+    deterministic (count desc, word asc) tie-break), collected under a
+    fail-fast bound. Truncating to the top words is the standard practice
+    (the tail carries negligible mass and would otherwise make the merge
+    loop O(type count))."""
+    from conflation_spark.operators.lm import unigram_vocab
+
     if max_words > MAX_TRAIN_WORDS:
         raise ValueError(
             f"max_words={max_words} exceeds the driver bound {MAX_TRAIN_WORDS}"
         )
-    toks = F.filter(F.split(normalized(F.col(text_col)), " "), lambda t: t != "")
-    cnt = (
-        df.select(F.explode(toks).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), F.col("w"))
-        .limit(max_words)
-    )
-    return [(r["w"], r["c"]) for r in cnt.collect()]
+    cnt = unigram_vocab(df, text_col, max_words)
+    return [(r["tok"], r["c"]) for r in cnt.collect()]
 
 
 def train_bpe(
@@ -128,11 +122,19 @@ def bpe_encode(
     Plan: ONE mapInPandas pass; the merge-rank dict is closure-broadcast
     (tokenizers are a few thousand merges — broadcast-sized by
     construction) and each batch memoizes per distinct word, so the
-    kernel cost scales with distinct words per batch, not tokens."""
+    kernel cost scales with distinct words per batch, not tokens.
+
+    Tokenizer parity: word boundaries must match the Spark-side
+    `normalized` tokenizer the trainer used (Java ``\\s`` = ASCII
+    whitespace only), so the kernel uses an ASCII-flagged regex — a bare
+    ``str.split()`` splits on UNICODE whitespace (NBSP etc.) and would
+    segment words the trainer never saw."""
     import hashlib
+    import re
 
     import pandas as pd
 
+    ws = re.compile(r"\s+", re.ASCII)  # Java \s: [ \t\n\x0B\f\r]
     ranks = {p: i for i, p in enumerate(merges)}
     id_type = df.schema[id_col].dataType.simpleString()
 
@@ -143,11 +145,8 @@ def bpe_encode(
                 continue
             ids, n_words, n_pieces, fps = [], [], [], []
             for did, text in zip(pdf["_id"], pdf["_text"]):
-                words = [
-                    w
-                    for w in " ".join((text or "").strip().lower().split()).split(" ")
-                    if w
-                ]
+                norm = ws.sub(" ", (text or "").lower()).strip(" \t\n\x0b\f\r")
+                words = [w for w in norm.split(" ") if w]
                 pieces: list[str] = []
                 for w in words:
                     if w not in memo:

@@ -70,11 +70,20 @@ def pagerank(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # Materialize the EDGE LIST first, then the edge+degree join: the
+    # join references its input twice (degree-agg side + probe side), so
+    # without the first checkpoint an expensive upstream edge pipeline
+    # (e.g. the LSH cosine-pair join) would execute twice just to build
+    # the second checkpoint — and K more times in the iterations without
+    # it. With both, upstream runs exactly once. Lineage truncation also
+    # keeps the iterated plan shallow. Block lifecycle: one checkpoint
+    # pair per call, freed by the ContextCleaner once the returned
+    # DataFrame is dropped (no driver loop holds checkpoints live here,
+    # unlike cluster.py's per-round chain which frees explicitly).
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # one materialized copy for the K iterations (plan references it K
-    # times; without this the edge scan + degree agg replays per
-    # iteration). Lineage truncation also keeps the iterated plan shallow.
     ed = e.join(deg, "src").localCheckpoint(eager=False)
     n = nodes.select(F.col(id_col).alias("id"))
     teleport = (scale * (damping_den - damping_num)) // damping_den
@@ -107,7 +116,15 @@ def similarity_pagerank(
     directed edges and PageRank over them. High rank_c = document sits
     in a dense semantic neighborhood — the D4/SemDeDup pruning signal
     (drop or downweight the densest regions first)."""
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.unionByName(rev)
+    # symmetrize via ONE explode instead of a self-union: a union
+    # references the (expensive: LSH candidate join + cosine verify)
+    # pair pipeline twice, doubling its execution in the checkpoint job
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return pagerank(edges, vectors.select(id_col), iters=iters, id_col=id_col)

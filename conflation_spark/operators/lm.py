@@ -147,18 +147,31 @@ def quality_classifier(
 LM_ALPHA = 0.5  # additive-smoothing mass per vocab type (incl. the OOV type)
 
 
-def unigram_vocab(
-    ref_df: DataFrame, text_col: str = "text", vocab_k: int = 4096
-) -> DataFrame:
-    """Top-``vocab_k`` reference-corpus tokens by (count desc, token asc)
-    — the deterministic tie-break both engines share. Plans as one token
-    aggregation + TakeOrdered; the result is broadcast-sized by
-    construction (CCNet keeps ~50k types)."""
-    cnt = (
+def token_counts(ref_df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(tok, c) table: one explode + hash aggregation over the
+    `normalized` whitespace tokens — THE shared token-count subplan
+    (unigram_vocab, unigram_lm_table, and bpe.word_frequency_table all
+    build on it so tokenizer/tie-break semantics cannot drift apart)."""
+    return (
         ref_df.select(F.explode(_toks(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def unigram_vocab(
+    ref_df: DataFrame | None,
+    text_col: str = "text",
+    vocab_k: int = 4096,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``vocab_k`` reference-corpus tokens by (count desc, token asc)
+    — the deterministic tie-break both engines share. Plans as one token
+    aggregation + TakeOrdered; the result is broadcast-sized by
+    construction (CCNet keeps ~50k types). Pass ``counts`` (a
+    `token_counts` output, possibly persisted) to rank a precomputed
+    table instead of re-scanning the corpus."""
+    cnt = counts if counts is not None else token_counts(ref_df, text_col)
     return cnt.orderBy(F.col("c").desc(), F.col("tok")).limit(vocab_k)
 
 
@@ -196,18 +209,11 @@ def unigram_lm_table(
             f"vocab_k={vocab_k} exceeds the driver-collect bound "
             f"{MAX_VOCAB_K}; a larger LM belongs in a distributed join"
         )
-    cnt = (
-        ref_df.select(F.explode(_toks(F.col(text_col))).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
+    cnt = token_counts(ref_df, text_col).persist()
     try:
         vocab_rows = [
             (r["tok"], r["c"])
-            for r in cnt.orderBy(F.col("c").desc(), F.col("tok"))
-            .limit(vocab_k)
-            .collect()
+            for r in unigram_vocab(None, text_col, vocab_k, counts=cnt).collect()
         ]
         n = cnt.agg(F.sum("c")).collect()[0][0] or 0
     finally:

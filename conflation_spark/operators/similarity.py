@@ -286,6 +286,11 @@ def pq_encode_udf(codebooks: np.ndarray):
 
     def enc(col: pd.Series) -> pd.Series:
         mat = stack_vectors(col)
+        if mat.shape[1] != m_sub * dsub:
+            raise ValueError(
+                f"vector dim {mat.shape[1]} does not match codebooks "
+                f"({m_sub} subspaces x {dsub} dims) — mismatched training?"
+            )
         codes = np.empty((len(mat), m_sub), dtype=np.int64)
         for m in range(m_sub):
             sub = mat[:, m * dsub : (m + 1) * dsub]
@@ -356,6 +361,11 @@ def pq_topk(
         codebooks = train_pq_codebooks(embeddings, m_sub, n_cents, id_col, vec_col)
     m_sub, n_cents, dsub = codebooks.shape
     qids, qmat, _ = _collect_query_matrix(queries, query_id_col, vec_col, max_queries)
+    if len(qids) and qmat.shape[1] != m_sub * dsub:
+        raise ValueError(
+            f"query dim {qmat.shape[1]} does not match codebooks "
+            f"({m_sub} subspaces x {dsub} dims) — mismatched training?"
+        )
     luts = np.empty((len(qids), m_sub, n_cents), dtype=np.int64)
     for m in range(m_sub):
         qsub = qmat[:, m * dsub : (m + 1) * dsub]

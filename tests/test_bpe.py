@@ -75,7 +75,7 @@ def test_encode_matches_independent_implementation(spark):
     assert _naive_bpe_encode("lowest", merges) == ["low", "est" + EOW]
 
 
-def test_encode_partitioning_invariant(spark, docs_fixture=None):
+def test_encode_partitioning_invariant(spark):
     docs = spark.createDataFrame(
         [(f"d{i}", "newest widest low " * (i % 5)) for i in range(40)],
         "doc_id string, text string",
@@ -84,6 +84,18 @@ def test_encode_partitioning_invariant(spark, docs_fixture=None):
     a = {r["doc_id"]: tuple(r) for r in bpe_encode(docs, merges).collect()}
     b = {r["doc_id"]: tuple(r) for r in bpe_encode(docs.repartition(11), merges).collect()}
     assert a == b
+
+
+def test_kernel_tokenizer_matches_spark_normalized_on_unicode_ws(spark):
+    """Word boundaries must agree between the Spark-side trainer (Java
+    \\s = ASCII whitespace; NBSP is NOT a separator) and the Python
+    encode kernel (a bare str.split() WOULD split on NBSP)."""
+    nbsp_doc = "foo\u00a0bar baz"
+    docs = spark.createDataFrame([("a", nbsp_doc)], "doc_id string, text string")
+    wc = word_frequency_table(docs, max_words=10)
+    assert ("foo\u00a0bar", 1) in wc and ("baz", 1) in wc
+    enc = bpe_encode(docs, [], "doc_id").collect()[0]
+    assert enc["n_words"] == 2  # foo\xa0bar stays ONE word, matching training
 
 
 def test_word_frequency_table_deterministic_order(spark):
