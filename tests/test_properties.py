@@ -111,3 +111,88 @@ def test_viterbi_batch_equals_per_doc_fuzz(pdf):
         want["end_time"].to_numpy(dtype=float),
         atol=1e-9,
     )
+
+
+# --- round-5 pure-kernel properties: BPE trainer/encoder, integer pagerank ---
+
+words_strategy = st.lists(
+    st.tuples(st.text(alphabet="abcdef", min_size=1, max_size=8), st.integers(1, 50)),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(wc=words_strategy, n_merges=st.integers(0, 24))
+def test_bpe_trainer_encoder_invariants(wc, n_merges):
+    """For ANY word table and merge budget: learning is prefix-stable,
+    every training word's encoding round-trips (concat of pieces ==
+    word + marker), and more merges never lengthen an encoding."""
+    from conflation_spark.operators.bpe import EOW, _encode_word, train_bpe
+
+    merges = train_bpe(wc, n_merges)
+    assert train_bpe(wc, max(0, n_merges - 1)) == merges[: max(0, n_merges - 1)]
+    ranks = {p: i for i, p in enumerate(merges)}
+    ranks_half = {p: i for i, p in enumerate(merges[: len(merges) // 2])}
+    for w, _ in wc:
+        pieces = _encode_word(w, ranks)
+        assert "".join(pieces) == w + EOW  # lossless segmentation
+        assert len(pieces) <= len(_encode_word(w, ranks_half))
+        assert all(p for p in pieces)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    n=st.integers(2, 12),
+    edges=st.lists(st.tuples(st.integers(0, 11), st.integers(0, 11)), max_size=30),
+    iters=st.integers(1, 6),
+)
+def test_integer_pagerank_mass_and_bounds(n, edges, iters):
+    """Python-side replay of the pagerank arithmetic (the pytest oracle's
+    own loop): total mass never exceeds the initial corpus mass (floors
+    only leak, never create), every rank >= teleport, and dangling-free
+    graphs conserve mass to within one unit per edge per iteration."""
+    from conflation_spark.operators.graph import (
+        PR_DAMPING_DEN,
+        PR_DAMPING_NUM,
+        PR_SCALE,
+    )
+
+    nodes = list(range(n))
+    edges = [(a % n, b % n) for a, b in edges]
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    teleport = (PR_SCALE * (PR_DAMPING_DEN - PR_DAMPING_NUM)) // PR_DAMPING_DEN
+    rank = {v: PR_SCALE for v in nodes}
+    for _ in range(iters):
+        mass = {v: 0 for v in nodes}
+        for s, d in edges:
+            mass[d] += (rank[s] * PR_DAMPING_NUM) // (PR_DAMPING_DEN * outdeg[s])
+        rank = {v: teleport + mass[v] for v in nodes}
+        assert all(r >= teleport for r in rank.values())
+        assert sum(rank.values()) <= n * PR_SCALE  # mass only leaks
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    counts=st.lists(st.integers(1, 1000), min_size=1, max_size=40),
+    vocab_k=st.integers(1, 40),
+)
+def test_lm_logprobs_are_proper(counts, vocab_k):
+    """The smoothed unigram LM is a proper distribution: retained-type
+    probabilities plus the OOV pseudo-type sum to EXACTLY 1
+    ((sum_ret + c_oov + alpha*(v+1)) / (n + alpha*(v+1)) with
+    c_oov = n - sum_ret), and every logprob is negative."""
+    import math
+
+    alpha = 0.5
+    vocab = sorted(counts, reverse=True)[:vocab_k]
+    n, v = sum(counts), len(vocab)
+    denom = n + alpha * (v + 1)
+    c_oov = n - sum(vocab)
+    probs = [(c + alpha) / denom for c in vocab] + [(c_oov + alpha) / denom]
+    assert all(p > 0 for p in probs)
+    assert abs(sum(probs) - 1.0) < 1e-9
+    assert all(math.log(p) < 0 for p in probs)
