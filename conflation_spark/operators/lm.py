@@ -276,3 +276,91 @@ def lm_cross_entropy(
     return scored.select(
         F.col("id").alias(id_col), "n_tokens", "sum_lp_c", ce_c.alias("ce_c")
     )
+
+
+def classifier_weights_array(n_buckets: int):
+    """The stand-in weight table as a numpy int64 array indexed by bucket
+    — value-identical to `hashed_weight_table` (same md5 derivation), for
+    kernels that need the weights in closure instead of as a join side."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    out = np.empty(n_buckets, dtype=np.int64)
+    for b in range(n_buckets):
+        h = int(hashlib.md5(f"{WEIGHT_SALT}:{b}".encode()).hexdigest()[:13], 16)
+        out[b] = math.floor(((h / float(2**52)) * 2.0 - 1.0) * 1e6 + 0.5)
+    return out
+
+
+def quality_scores_stateless(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    bias: float = 0.0,
+    threshold_c: int = 0,
+) -> DataFrame:
+    """Per-ROW formulation of `quality_classifier`: one Arrow-batched
+    pandas kernel computes each document's (n_features, logit_c,
+    is_quality) with the weights in closure — zero shuffle, zero state,
+    so the SAME operator runs under ``readStream`` (an ingest-time
+    quality gate) and batch, with EXACT output equality to the
+    explode → broadcast-join → agg batch plan (integer feature sums;
+    identical IEEE double mean/scale; tokenizer uses the ASCII-flagged
+    regex so word boundaries match Java ``\\s`` — the bpe.py parity
+    rule). The batch plan remains preferable for batch (JVM codegen
+    hashing); this is the streaming/gate shape.
+    """
+    import hashlib
+    import math
+    import re
+
+    import pandas as pd
+
+    weights = classifier_weights_array(n_buckets)
+    ws = re.compile(r"\s+", re.ASCII)
+    salt = (CLASSIFIER_SALT + ":").encode()
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, nf, lc, q = [], [], [], []
+            for did, text in zip(pdf["_id"], pdf["_text"]):
+                norm = ws.sub(" ", (text or "").lower()).strip(" \t\n\x0b\f\r")
+                toks = [t for t in norm.split(" ") if t]
+                feats = toks + [
+                    toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+                ]
+                if not feats:
+                    continue  # zero-token docs are absent (batch contract)
+                sw = 0
+                for f_ in feats:
+                    h = int(hashlib.md5(salt + f_.encode()).hexdigest()[:13], 16)
+                    sw += int(weights[h % n_buckets])
+                logit_c = math.floor((sw / len(feats) / 1e6 + bias) * 1e4 + 0.5)
+                ids.append(did)
+                nf.append(len(feats))
+                lc.append(logit_c)
+                q.append(logit_c >= threshold_c)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_features": pd.array(nf, dtype="int64"),
+                    "logit_c": pd.array(lc, dtype="int64"),
+                    "is_quality": pd.array(q, dtype="boolean"),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(
+        score,
+        schema=f"id {id_type}, n_features long, logit_c long, is_quality boolean",
+    )
+    return out.select(
+        F.col("id").alias(id_col), "n_features", "logit_c", "is_quality"
+    )

@@ -106,6 +106,19 @@ def streaming_trace_accept(spark, input_dir: str) -> DataFrame:
     return doc_accept_stateless(stream)
 
 
+def streaming_quality_scores(spark, input_dir: str, n_buckets: int = 4096) -> DataFrame:
+    """readStream over a textdocs directory -> per-doc fastText-style
+    quality scores, via the stateless per-row kernel
+    (`operators.lm.quality_scores_stateless`) — an ingest-time quality
+    gate: zero shuffle, zero state, output EXACTLY equal to the batch
+    `quality_classifier` plan (integer feature sums; parity tested)."""
+    from conflation_spark.operators.lm import quality_scores_stateless
+
+    schema = "text_id string, text string"
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return quality_scores_stateless(stream, "text_id", "text", n_buckets=n_buckets)
+
+
 def windowed_event_counts(
     events: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
 ) -> DataFrame:

@@ -178,3 +178,23 @@ def test_lm_gibberish_scores_worse(spark, textdocs):
     rows = {r["text_id"]: r["ce_c"] for r in scored.collect()}
     ces = sorted(v for k, v in rows.items() if k != "gib")
     assert rows["gib"] > ces[len(ces) // 2]
+
+
+def test_stateless_scores_equal_batch_plan(spark, textdocs):
+    """The per-row kernel (streaming/gate shape) equals the explode +
+    broadcast-join + agg batch plan EXACTLY — integer sums and identical
+    double mean/scale arithmetic on both paths."""
+    from conflation_spark.operators.lm import quality_scores_stateless
+
+    n_buckets = 512
+    batch = {
+        tuple(r)
+        for r in quality_classifier(textdocs, "text_id", "text", n_buckets=n_buckets).collect()
+    }
+    stateless = {
+        tuple(r)
+        for r in quality_scores_stateless(
+            textdocs, "text_id", "text", n_buckets=n_buckets
+        ).collect()
+    }
+    assert batch == stateless

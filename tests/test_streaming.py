@@ -399,3 +399,32 @@ def test_streaming_minhash_pairs_equals_batch(spark, tmp_path):
     # cross-microbatch pairing actually happened: some pair spans the file
     # split (earlier id < t000060 <= later id)
     assert any(a < "t000060" <= b for a, b in got)
+
+
+def test_streaming_quality_scores_equal_batch(spark, tmp_path):
+    """Ingest-time quality gate: the stream over the textdocs fixture
+    produces exactly the batch quality_classifier rows."""
+    from conflation_spark.datagen_text import ensure_text_fixture
+    from conflation_spark.operators.lm import quality_classifier
+    from conflation_spark.streaming.ingest import streaming_quality_scores
+
+    d = ensure_text_fixture("sf0.001")
+    td = spark.read.parquet(f"{d}/textdocs.parquet")
+    src = str(tmp_path / "textdocs_stream")
+    td.select("text_id", "text").repartition(3).write.parquet(src)
+
+    out = streaming_quality_scores(spark, src, n_buckets=512)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qscores")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from qscores").collect()}
+    want = {
+        tuple(r)
+        for r in quality_classifier(td, "text_id", "text", n_buckets=512).collect()
+    }
+    assert got == want
