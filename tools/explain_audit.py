@@ -327,6 +327,27 @@ def main():
             f"0 NLJ, 1 scan; got {n_bhj15}/{n_shuf15}/{n_nlj15}/{n_scans15})"
         )
 
+    # 16. per-source cap: a window partitioned on (source, _salt) exists
+    # (phase 1 — no task sorts a whole hot domain) AND Spark 4's
+    # WindowGroupLimit prunes map-side before each exchange
+    from conflation_spark.operators.corpus import per_source_cap
+
+    docs16 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p16 = (
+        per_source_cap(docs16, 5)._jdf.queryExecution().executedPlan().toString()
+    )
+    salted_window = any(
+        "_salt" in seg.split(")")[0]
+        for seg in p16.split("windowspecdefinition(")[1:]
+    )
+    partial_limit = "WindowGroupLimit" in p16 and "Partial" in p16
+    print(
+        f"[16] per_source_cap: salted phase-1 window={salted_window}, "
+        f"map-side WindowGroupLimit={partial_limit}"
+    )
+    if not salted_window or not partial_limit:
+        failures.append("per_source_cap lost its skew-safe two-phase plan shape")
+
     if failures:
         print("\nFAILURES:")
         for f in failures:
