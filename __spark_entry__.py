@@ -877,6 +877,22 @@ def _q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("text_id").alias("doc_id"), "cluster_id", "split")
 
 
+LM_BIGRAM_K = 512  # retained bigrams; fixture has ~1.7k types -> backoff live
+
+
+def _q_bigram_lm_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram cross-entropy (operators/lm.bigram_cross_entropy):
+    retained-bigram MLE logprob, ln(0.4)+unigram backoff, pure unigram on
+    doc-initial tokens; tables built in two bounded reference passes and
+    broadcast; per-token logprobs integerized before the per-doc sum."""
+    from conflation_spark.operators.lm import bigram_cross_entropy
+
+    td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
+    return bigram_cross_entropy(
+        td, None, "text_id", "text", vocab_k=LM_VOCAB_K, bigram_k=LM_BIGRAM_K
+    ).select(F.col("text_id").alias("doc_id"), "n_tokens", "sum_lp_c", "ce_c")
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.text import with_fingerprints
 
@@ -1372,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split": _q_cluster_safe_split,
         "graph_pagerank": _q_graph_pagerank,
         "bpe_tokens": _q_bpe_tokens,
+        "bigram_lm_ce": _q_bigram_lm_ce,
     }
 
 
@@ -2626,6 +2643,64 @@ SELECT doc_id, cluster_id,
             WHEN substr(md5(cluster_id), 1, 8) < '{t_train}' THEN 'train'
             ELSE 'val' END AS split
 FROM dc
+"""
+    # stupid-backoff bigram LM: same unigram CTEs as lm_cross_entropy
+    # plus a top-K bigram table (MLE over the unigram context count);
+    # per-token CASE (retained bigram / doc-initial unigram / backoff +
+    # unigram), integerized at 1e4 before the exact long per-doc sum
+    sqls["bigram_lm_ce"] = f"""
+WITH base AS (SELECT text_id AS id, {_DUCK_TOKS} AS toks
+              FROM read_parquet('{td}/textdocs.parquet')),
+e AS (SELECT id, unnest(toks) AS tok FROM base),
+cnt AS (SELECT tok, COUNT(*) AS c FROM e GROUP BY tok),
+vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT {LM_VOCAB_K}),
+stats AS (SELECT (SELECT SUM(c) FROM cnt) AS n,
+                 (SELECT COUNT(*) FROM vocab) AS v,
+                 (SELECT SUM(c) FROM vocab) AS c_ret),
+bp AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+            i -> struct_pack(prev := toks[i], tok := toks[i + 1]))) AS p
+  FROM base
+),
+bic AS (SELECT p.prev AS prev, p.tok AS tok, COUNT(*) AS c2
+        FROM bp GROUP BY 1, 2),
+topbi AS (SELECT prev, tok, c2 FROM bic
+          ORDER BY c2 DESC, prev, tok LIMIT {LM_BIGRAM_K}),
+kb AS (
+  SELECT t.prev, t.tok,
+         CAST(floor(ln(CAST(t.c2 AS DOUBLE) / CAST(c1.c AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS b_lp_c
+  FROM topbi t JOIN cnt c1 ON c1.tok = t.prev
+),
+dp AS (
+  SELECT id, unnest(list_transform(generate_series(1, len(toks)),
+            i -> struct_pack(prev := CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END,
+                             tok := toks[i]))) AS p
+  FROM base
+),
+sc AS (
+  SELECT dp.id,
+         CASE
+           WHEN kb.b_lp_c IS NOT NULL THEN kb.b_lp_c
+           WHEN (dp.p).prev IS NULL THEN
+             CAST(floor(ln((CAST(coalesce(vocab.c, stats.n - stats.c_ret) AS DOUBLE) + 0.5)
+               / (CAST(stats.n AS DOUBLE) + 0.5 * (CAST(stats.v AS DOUBLE) + 1.0)))
+               * 10000.0 + 0.5) AS BIGINT)
+           ELSE
+             CAST(floor(ln(0.4) * 10000.0 + 0.5) AS BIGINT)
+             + CAST(floor(ln((CAST(coalesce(vocab.c, stats.n - stats.c_ret) AS DOUBLE) + 0.5)
+               / (CAST(stats.n AS DOUBLE) + 0.5 * (CAST(stats.v AS DOUBLE) + 1.0)))
+               * 10000.0 + 0.5) AS BIGINT)
+         END AS lp_c
+  FROM dp
+  LEFT JOIN kb ON kb.prev = (dp.p).prev AND kb.tok = (dp.p).tok
+  LEFT JOIN vocab ON vocab.tok = (dp.p).tok
+  CROSS JOIN stats
+),
+agg AS (SELECT id, SUM(lp_c) AS sum_lp_c, COUNT(*) AS n_tokens FROM sc GROUP BY id)
+SELECT id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sum_lp_c AS BIGINT) AS sum_lp_c,
+       CAST(floor(-CAST(sum_lp_c AS DOUBLE) / n_tokens + 0.5) AS BIGINT) AS ce_c
+FROM agg
 """
     # fastText-style hashed-ngram classifier: the weight of bucket b is a
     # pure function of b (md5-prefix -> [-1e6, 1e6) long), so the twin

@@ -364,3 +364,133 @@ def quality_scores_stateless(
     return out.select(
         F.col("id").alias(id_col), "n_features", "logit_c", "is_quality"
     )
+
+
+BACKOFF = 0.4  # stupid-backoff discount (Brants et al. 2007)
+MAX_BIGRAM_K = 2_000_000  # driver-collect bound for the bigram table
+
+
+def bigram_lm_tables(
+    ref_df: DataFrame,
+    text_col: str = "text",
+    vocab_k: int = 4096,
+    bigram_k: int = 65_536,
+    alpha: float = LM_ALPHA,
+):
+    """Build the stupid-backoff bigram LM from the reference corpus:
+    returns ``(uni_table, oov_lp_c, bi_table, backoff_c)`` where
+    uni_table is the smoothed `unigram_lm_table` output, bi_table is
+    ``[(prev, tok, lp_c)]`` for the top ``bigram_k`` bigrams with
+    lp_c = floor(ln(c(prev,tok) / c(prev)) * 1e4 + 0.5) (MLE over the
+    unigram context count — the stupid-backoff convention, no smoothing
+    on the retained bigrams), and backoff_c = floor(ln(0.4) * 1e4 + 0.5)
+    is the constant penalty added to the unigram logprob when a bigram
+    is unseen.
+
+    Two reference-corpus passes (token counts + bigram counts — both
+    single explode + hash aggregation + TakeOrdered with deterministic
+    tie-breaks); all collects are contract-bounded and fail-fast.
+    """
+    import math
+
+    if bigram_k > MAX_BIGRAM_K:
+        raise ValueError(
+            f"bigram_k={bigram_k} exceeds the driver bound {MAX_BIGRAM_K}"
+        )
+    uni_table, oov_lp_c = unigram_lm_table(ref_df, text_col, vocab_k, alpha)
+    toks = _toks(F.col(text_col))
+    sz = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(sz - 1, F.lit(0))).alias("prev"),
+        F.slice(toks, 2, F.greatest(sz - 1, F.lit(0))).alias("tok"),
+    )
+    bi_cnt = (
+        ref_df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
+        .groupBy("prev", "tok")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .orderBy(F.col("c2").desc(), F.col("prev"), F.col("tok"))
+        .limit(bigram_k)
+    )
+    bi_rows = bi_cnt.collect()
+    prevs = sorted({r["prev"] for r in bi_rows})
+    cnt = token_counts(ref_df, text_col)
+    c1 = {
+        r["tok"]: r["c"]
+        for r in cnt.where(F.col("tok").isin(prevs)).collect()
+    }
+    bi_table = [
+        (
+            r["prev"],
+            r["tok"],
+            math.floor(math.log(float(r["c2"]) / float(c1[r["prev"]])) * 1e4 + 0.5),
+        )
+        for r in bi_rows
+    ]
+    backoff_c = math.floor(math.log(BACKOFF) * 1e4 + 0.5)
+    return uni_table, oov_lp_c, bi_table, backoff_c
+
+
+def bigram_cross_entropy(
+    df: DataFrame,
+    ref_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_k: int = 4096,
+    bigram_k: int = 65_536,
+    alpha: float = LM_ALPHA,
+) -> DataFrame:
+    """Stupid-backoff bigram cross-entropy (the CCNet/KenLM direction one
+    order up from `lm_cross_entropy`): lp(t | prev) = the retained
+    bigram's MLE logprob when (prev, t) is in the top-``bigram_k`` table,
+    else ln(0.4) + unigram lp(t); a document's first token scores as a
+    pure unigram. Per-token logprobs are integerized at 1e4 BEFORE the
+    per-doc sum (exact longs); output schema matches `lm_cross_entropy`
+    (id, n_tokens, sum_lp_c, ce_c).
+
+    Plan: LM tables build in two bounded reference passes
+    (`bigram_lm_tables`); scoring makes (prev, tok) pairs per doc with
+    the zip-slices construction (no per-element subtree re-evaluation —
+    rule 3), explodes ONCE, left-joins the two BROADCAST tables, and
+    reduces with one hash aggregation — one shuffle, no libm in the
+    distributed plan.
+    """
+    spark = df.sparkSession
+    uni_table, oov_lp_c, bi_table, backoff_c = bigram_lm_tables(
+        ref_df if ref_df is not None else df, text_col, vocab_k, bigram_k, alpha
+    )
+    uni = spark.createDataFrame(uni_table, "tok string, u_lp_c long")
+    bi = spark.createDataFrame(bi_table, "prev string, tok string, b_lp_c long")
+    toks = _toks(F.col(text_col))
+    sz = F.size(toks)
+    pairs = F.arrays_zip(
+        F.concat(F.array(F.lit(None).cast("string")), F.slice(toks, 1, F.greatest(sz - 1, F.lit(0)))).alias("prev"),
+        toks.alias("tok"),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("p")
+    ).select("id", F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
+    scored = (
+        exploded.join(F.broadcast(bi), ["prev", "tok"], "left")
+        .join(F.broadcast(uni), ["tok"], "left")
+        .select(
+            "id",
+            F.when(F.col("b_lp_c").isNotNull(), F.col("b_lp_c"))
+            .when(  # doc-initial token: no context -> pure unigram, no penalty
+                F.col("prev").isNull(),
+                F.coalesce(F.col("u_lp_c"), F.lit(oov_lp_c)),
+            )
+            .otherwise(
+                F.lit(backoff_c) + F.coalesce(F.col("u_lp_c"), F.lit(oov_lp_c))
+            )
+            .alias("lp_c"),
+        )
+        .groupBy("id")
+        .agg(F.sum("lp_c").alias("sum_lp_c"), F.count(F.lit(1)).alias("n_tokens"))
+    )
+    ce_c = F.floor(
+        -F.col("sum_lp_c").cast("double") / F.col("n_tokens") + F.lit(0.5)
+    ).cast("long")
+    return scored.select(
+        F.col("id").alias(id_col), "n_tokens", "sum_lp_c", ce_c.alias("ce_c")
+    )

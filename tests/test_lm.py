@@ -198,3 +198,84 @@ def test_stateless_scores_equal_batch_plan(spark, textdocs):
         ).collect()
     }
     assert batch == stateless
+
+
+def _bigram_oracle(texts, score_ids, vocab_k, bigram_k, alpha=0.5):
+    """Exact replay of bigram_cross_entropy's math in plain Python."""
+    from collections import Counter
+
+    cnt = Counter()
+    bi = Counter()
+    for t in texts.values():
+        toks = _toks(t)
+        cnt.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    vocab = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_k])
+    n, v = sum(cnt.values()), len(vocab)
+    c_oov = n - sum(vocab.values())
+    kept_bi = dict(
+        sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))[:bigram_k]
+    )
+    backoff_c = math.floor(math.log(0.4) * 1e4 + 0.5)
+
+    def u_lp_c(tok):
+        c = vocab.get(tok, c_oov)
+        return math.floor(math.log((c + alpha) / (n + alpha * (v + 1))) * 1e4 + 0.5)
+
+    def lp_c(prev, tok):
+        if (prev, tok) in kept_bi:
+            return math.floor(
+                math.log(kept_bi[(prev, tok)] / cnt[prev]) * 1e4 + 0.5
+            )
+        if prev is None:
+            return u_lp_c(tok)
+        return backoff_c + u_lp_c(tok)
+
+    out = {}
+    for tid in score_ids:
+        toks = _toks(texts[tid])
+        if not toks:
+            continue
+        s = sum(lp_c(p, t) for p, t in zip([None] + toks[:-1], toks))
+        out[tid] = (len(toks), s, math.floor(-s / len(toks) + 0.5))
+    return out
+
+
+def test_bigram_matches_python_oracle(spark, textdocs, texts_local):
+    from conflation_spark.operators.lm import bigram_cross_entropy
+
+    vocab_k, bigram_k = 16, 64  # small caps force OOV + backoff paths live
+    got = {
+        r["text_id"]: (r["n_tokens"], r["sum_lp_c"], r["ce_c"])
+        for r in bigram_cross_entropy(
+            textdocs, None, "text_id", "text", vocab_k=vocab_k, bigram_k=bigram_k
+        ).collect()
+    }
+    want = _bigram_oracle(texts_local, list(texts_local), vocab_k, bigram_k)
+    assert got == want
+    # both paths genuinely exercised: corpus has more bigram types than
+    # the cap, and more token types than the vocab cap
+    all_bi = set()
+    for t in texts_local.values():
+        tk = _toks(t)
+        all_bi.update(zip(tk, tk[1:]))
+    assert len(all_bi) > bigram_k
+
+
+def test_bigram_lower_ce_than_unigram_on_fluent_text(spark, textdocs):
+    """The bigram signal: on the (repetitive) fixture corpus, context
+    lowers mean cross-entropy for most documents vs the unigram LM."""
+    from conflation_spark.operators.lm import bigram_cross_entropy
+
+    uni = {
+        r["text_id"]: r["ce_c"]
+        for r in lm_cross_entropy(textdocs, None, "text_id", "text", vocab_k=64).collect()
+    }
+    bi = {
+        r["text_id"]: r["ce_c"]
+        for r in bigram_cross_entropy(
+            textdocs, None, "text_id", "text", vocab_k=64, bigram_k=4096
+        ).collect()
+    }
+    better = sum(1 for k in uni if bi[k] < uni[k])
+    assert better > len(uni) * 0.7
