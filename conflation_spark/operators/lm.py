@@ -1,12 +1,16 @@
 """Model-based document quality scoring: a fastText-style hashed-ngram
-linear classifier and a CCNet-style unigram-LM cross-entropy filter.
+linear classifier (batch plan + a stateless per-row streaming variant)
+and CCNet-style LM cross-entropy filters (unigram + stupid-backoff
+bigram).
 
 Every public web-scale corpus pipeline (CCNet, C4, RefinedWeb, Llama)
 gates documents with (a) a cheap linear classifier over hashed bag-of-
 ngram features — fastText's architecture: hash features into B buckets,
 look each bucket's learned weight up, mean-pool, threshold the logit —
 and (b) a language-model perplexity score against a reference corpus
-(CCNet buckets pages into head/middle/tail by wiki-LM perplexity). The
+(CCNet buckets pages into head/middle/tail by wiki-LM perplexity;
+production systems use KenLM n-gram models — `bigram_cross_entropy` is
+that direction with stupid backoff, Brants et al. 2007). The
 reference repo has no analog (its filters are GPS-trace physics,
 conflation/trace_filter.py); this is a scale-tier extension of the text
 suite (`operators/text.py`).

@@ -16,6 +16,15 @@
   neighbors. The candidate join is an equi-join on (table, bucket), so at
   10^12 vectors the fan-out is bucket-local; candidate cosines are
   vectorized per batch.
+- IVF ANN: nearest-centroid inverted lists (deterministic shared-kernel
+  k-means on a bounded sample, distributed assignment); queries probe
+  n_probe lists. The incremental/bucketed variant lives in
+  `operators/incremental.py`.
+- product-quantization ANN (``pq_topk``): the MEMORY axis — the corpus
+  is encoded once into m_sub codebook codes (~8-16 B/vector vs 512 B
+  raw), search scans only the codes column with an integer ADC
+  lookup-table gather-sum, and an optional exact-cosine re-rank of the
+  shortlist resolves within-cell ties the way deployments do.
 """
 
 from __future__ import annotations
