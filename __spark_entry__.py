@@ -559,6 +559,22 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composition (operators/similarity.ivf_pq_topk): the two
+    pruning axes multiply — queries probe 4 of 16 inverted lists and
+    ADC-scan only those lists' global-codebook codes with the integer
+    LUT gather-sum. Centroids and codebooks come from the shared
+    deterministic trainers so the DuckDB twin re-derives both."""
+    from conflation_spark.operators.similarity import ivf_pq_topk
+
+    v = spark.read.parquet(f"{_text_dir(sf_dir)}/vectors.parquet")
+    q = v.orderBy("vec_id").limit(20).selectExpr("vec_id as query_id", "vec")
+    return ivf_pq_topk(
+        v, q, k=10, n_lists=16, n_probe=4, id_col="vec_id", vec_col="vec",
+        centroids=_ivf_centroids(sf_dir), codebooks=_pq_codebooks(sf_dir),
+    )
+
+
 # corpus/delta split for the incremental-IVF query (ids are v000000..)
 IVF_INCR_SPLIT = "v000200"
 
@@ -1389,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": _q_graph_pagerank,
         "bpe_tokens": _q_bpe_tokens,
         "bigram_lm_ce": _q_bigram_lm_ce,
+        "ann_ivf_pq_topk": _q_ann_ivf_pq,
     }
 
 
@@ -1600,6 +1617,37 @@ SELECT query_id, neighbor_id,
        cosine_c
 FROM sc QUALIFY rank <= 10
 """
+    # IVF + PQ composition: probe selection from the ivf centroid
+    # literals, codes + ADC terms from the pq codebook literals — the
+    # same sub-expressions the standalone twins use, composed
+    sqls_ivf_pq = f"""
+WITH v AS (SELECT vec_id, vec, {dist_list} AS dl
+           FROM read_parquet('{td}/vectors.parquet')),
+va AS (
+  SELECT vec_id, vec,
+       CAST(array_position(dl, list_min(dl)) - 1 AS BIGINT) AS list_id,
+       {code_cols}
+  FROM v
+),
+q AS (SELECT vec_id AS query_id, vec AS qvec, dl FROM v ORDER BY vec_id LIMIT 20),
+probes AS (
+  SELECT query_id, qvec, CAST(g.i AS BIGINT) AS list_id
+  FROM q, LATERAL (
+    SELECT i FROM (SELECT unnest(range(16)) AS i)
+    ORDER BY q.dl[CAST(i AS INT) + 1], i LIMIT 4
+  ) g
+),
+adc AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {adc_terms} AS adc_c
+  FROM probes p JOIN va a ON a.list_id = p.list_id
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_c, neighbor_id) AS BIGINT) AS rank,
+       adc_c
+FROM adc QUALIFY rank <= 10
+"""
     # point-in-polygon crossing sum: generated from the same PIP_POLY
     # literals with the identical IEEE expression tree as the Spark side
     pip_edges = []
@@ -1614,6 +1662,7 @@ FROM sc QUALIFY rank <= 10
     pip_sum = " + ".join(pip_edges)
     sqls = {
         "ann_pq_topk": sqls_pq,
+        "ann_ivf_pq_topk": sqls_ivf_pq,
         "ann_ivf_topk": ivf_sql,
         # incremental IVF: end state == full rebuild at fixed centroids,
         # so the oracle is the same assignment/probe SQL with the

@@ -512,3 +512,119 @@ def lsh_topk(
         _cosine_pairs_kernel, schema=TOPK_SCHEMA
     )
     return _topk_window(scored, k)
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m_sub: int = PQ_M_SUB,
+    n_cents: int = PQ_N_CENTS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    max_queries: int = MAX_QUERY_SET,
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF + PQ composition (the FAISS deployment shape at 10^11
+    vectors): the corpus is bucketed by nearest IVF centroid AND encoded
+    to PQ codes in one pass; a query probes its ``n_probe`` lists and
+    ADC-scans ONLY those lists' codes — the two pruning axes multiply
+    (n_probe/n_lists of the rows, ~8-16 B of each). Integer LUT
+    gather-sum like ``pq_topk``; optional exact re-rank of the shortlist.
+
+    Codes use the GLOBAL codebook (not per-list residuals): classic
+    IVFADC encodes residuals vec - centroid for tighter cells, at the
+    cost of per-list LUTs; the global-codebook form keeps codes
+    list-independent (an index re-shard never re-encodes) and stays
+    exactly replayable in the SQL twin — the re-rank stage recovers the
+    accuracy difference at equal scan I/O.
+
+    Output: like ``pq_topk`` — (query_id, neighbor_id, rank, adc_c), or
+    cosine_c when ``rerank > 0``.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_lists, id_col, vec_col)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(embeddings, m_sub, n_cents, id_col, vec_col)
+    m_sub, n_cents, dsub = codebooks.shape
+    enc = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_assign_udf(centroids)(F.col(vec_col)).alias("list_id"),
+        pq_encode_udf(codebooks)(F.col(vec_col)).alias("codes"),
+    )
+    qids, qmat, _ = _collect_query_matrix(queries, query_id_col, vec_col, max_queries)
+    if len(qids) and qmat.shape[1] != m_sub * dsub:
+        raise ValueError(
+            f"query dim {qmat.shape[1]} does not match codebooks "
+            f"({m_sub} subspaces x {dsub} dims) — mismatched training?"
+        )
+    luts = np.empty((len(qids), m_sub, n_cents), dtype=np.int64)
+    for m in range(m_sub):
+        qsub = qmat[:, m * dsub : (m + 1) * dsub]
+        d2 = ((qsub[:, None, :] - codebooks[m][None, :, :]) ** 2).sum(-1)
+        luts[:, m, :] = np.floor(d2 * 1e4 + 0.5).astype(np.int64)
+    qd2 = ((qmat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+    probe_lists = np.argsort(qd2, axis=1, kind="stable")[:, :n_probe]
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(
+        [(str(qids[i]), int(li)) for i in range(len(qids)) for li in probe_lists[i]],
+        "query_id string, list_id long",
+    )
+    qidx = {str(q): i for i, q in enumerate(qids)}
+    marange = np.arange(m_sub)
+    keep = rerank if rerank else k
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy().astype("U")
+            qs = pdf["query_id"].to_numpy().astype("U")
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            qrow = np.array([qidx[q] for q in qs])
+            mask = ids != qs
+            if not mask.any():
+                continue
+            d = luts[qrow[mask][:, None], marange[None, :], codes[mask]].sum(axis=1)
+            qs_m, ids_m = qs[mask], ids[mask]
+            # batch-local top-keep per query: the window shuffle then
+            # carries Q x keep x n_batches rows, not the probed stream
+            out = []
+            for q in np.unique(qs_m):
+                qm = qs_m == q
+                nb, dv = ids_m[qm], d[qm]
+                sel = np.lexsort((nb, dv))[:keep]
+                out.append(
+                    pd.DataFrame({"query_id": q, "neighbor_id": nb[sel], "adc_c": dv[sel]})
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    cand = F.broadcast(probes).join(enc, "list_id")
+    scored = cand.select("query_id", "neighbor_id", "codes").mapInPandas(
+        op, schema="query_id string, neighbor_id string, adc_c long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_c").asc(), F.col("neighbor_id").asc()
+    )
+    adc_ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= keep)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "adc_c"
+        )
+    )
+    if not rerank:
+        return adc_ranked
+    qv = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    ev = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("evec"))
+    shortlist = adc_ranked.select("query_id", "neighbor_id")
+    joined = F.broadcast(shortlist.join(F.broadcast(qv), "query_id")).join(ev, "neighbor_id")
+    exact = joined.select("query_id", "qvec", "neighbor_id", "evec").mapInPandas(
+        _cosine_pairs_kernel, schema=TOPK_SCHEMA
+    )
+    return _topk_window(exact, k)

@@ -339,3 +339,82 @@ def test_pq_dim_not_divisible_raises(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         similarity.train_pq_codebooks(bad, m_sub=2, n_cents=2, id_col="vec_id", vec_col="vec")
+
+
+def test_ivf_pq_topk_matches_python_oracle(spark, vectors):
+    """Exact replay: IVF probe selection + global-codebook integer ADC
+    within the probed lists only."""
+    from conflation_spark.functions.kernels import kmeans_lloyd
+
+    m_sub, n_cents, n_lists, n_probe, k = 8, 16, 8, 3, 5
+    rows = vectors.collect()
+    ids = sorted(r["vec_id"] for r in rows)
+    v = {r["vec_id"]: np.array(r["vec"], dtype=np.float64) for r in rows}
+    x = np.array([v[i] for i in ids[:2048]])
+    cents = kmeans_lloyd(x, n_lists)
+    dsub = x.shape[1] // m_sub
+    books = [kmeans_lloyd(x[:, m * dsub:(m + 1) * dsub], n_cents) for m in range(m_sub)]
+
+    def list_of(vec):
+        return int(np.argmin(((vec - cents) ** 2).sum(-1)))
+
+    def codes_of(vec):
+        return [
+            int(np.argmin(((vec[m * dsub:(m + 1) * dsub] - books[m]) ** 2).sum(-1)))
+            for m in range(m_sub)
+        ]
+
+    query_ids = ids[:8]
+    queries = vectors.where(F.col("vec_id").isin(query_ids)).selectExpr(
+        "vec_id as query_id", "vec"
+    )
+    got = {}
+    res = similarity.ivf_pq_topk(
+        vectors, queries, k=k, n_lists=n_lists, n_probe=n_probe,
+        m_sub=m_sub, n_cents=n_cents, id_col="vec_id", vec_col="vec",
+        centroids=cents, codebooks=np.stack(books),
+    )
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["rank"], r["adc_c"]))
+    import math
+    for q in query_ids:
+        qv = v[q]
+        probed = set(np.argsort(((qv - cents) ** 2).sum(-1), kind="stable")[:n_probe].tolist())
+        lut = [
+            [math.floor(((qv[m * dsub:(m + 1) * dsub] - books[m][c]) ** 2).sum() * 1e4 + 0.5)
+             for c in range(n_cents)]
+            for m in range(m_sub)
+        ]
+        scored = sorted(
+            (sum(lut[m][codes_of(v[n])[m]] for m in range(m_sub)), n)
+            for n in ids
+            if n != q and list_of(v[n]) in probed
+        )
+        want = [(n, r + 1, d) for r, (d, n) in enumerate(scored[:k])]
+        assert sorted(got[q], key=lambda t: t[1]) == want, q
+
+
+def test_ivf_pq_rerank_finds_true_neighbors(spark, vectors):
+    kinds = {r["vec_id"]: r["kind"] for r in vectors.collect()}
+    near_dups = [vv for vv, kk in sorted(kinds.items()) if kk == "near_dup"][:20]
+    queries = vectors.where(F.col("vec_id").isin(near_dups)).selectExpr(
+        "vec_id as query_id", "vec"
+    )
+    bf = similarity.brute_force_topk(vectors, queries, k=1, id_col="vec_id", vec_col="vec")
+    ann = similarity.ivf_pq_topk(
+        vectors, queries, k=1, id_col="vec_id", vec_col="vec", rerank=32
+    )
+    bf1 = {r["query_id"]: r["neighbor_id"] for r in bf.collect() if r["rank"] == 1}
+    an1 = {r["query_id"]: r["neighbor_id"] for r in ann.collect() if r["rank"] == 1}
+    assert near_dups and all(an1.get(q) == bf1[q] for q in near_dups)
+
+
+def test_ivf_pq_candidate_join_broadcasts_probes(spark, vectors):
+    queries = vectors.orderBy("vec_id").limit(5).selectExpr("vec_id as query_id", "vec")
+    plan = (
+        similarity.ivf_pq_topk(vectors, queries, k=3, id_col="vec_id", vec_col="vec")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # probes side broadcast; corpus unshuffled
