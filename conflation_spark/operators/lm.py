@@ -187,6 +187,7 @@ def unigram_lm_table(
     text_col: str = "text",
     vocab_k: int = 4096,
     alpha: float = LM_ALPHA,
+    counts: DataFrame | None = None,
 ) -> tuple[list[tuple[str, int]], int]:
     """Build the smoothed unigram logprob table from the reference
     corpus: ``([(tok, lp_c), ...], oov_lp_c)`` with lp_c = floor(ln((c +
@@ -204,7 +205,9 @@ def unigram_lm_table(
     contract-bounded by ``vocab_k`` (<= MAX_VOCAB_K, fail-fast — the
     similarity.py centroid convention); ln() runs in Python, which both
     the pytest oracle and DuckDB agree with at the 1e4 floor, and the
-    scoring plan stays free of libm entirely.
+    scoring plan stays free of libm entirely. Pass ``counts`` (a
+    persisted `token_counts` output) to share one aggregation across
+    several table builds — the caller then owns its lifecycle.
     """
     import math
 
@@ -213,7 +216,8 @@ def unigram_lm_table(
             f"vocab_k={vocab_k} exceeds the driver-collect bound "
             f"{MAX_VOCAB_K}; a larger LM belongs in a distributed join"
         )
-    cnt = token_counts(ref_df, text_col).persist()
+    owns = counts is None
+    cnt = token_counts(ref_df, text_col).persist() if owns else counts
     try:
         vocab_rows = [
             (r["tok"], r["c"])
@@ -221,7 +225,8 @@ def unigram_lm_table(
         ]
         n = cnt.agg(F.sum("c")).collect()[0][0] or 0
     finally:
-        cnt.unpersist()
+        if owns:
+            cnt.unpersist()
     if n == 0:
         raise ValueError("reference corpus has no tokens; cannot build an LM")
     v = len(vocab_rows)
@@ -391,9 +396,13 @@ def bigram_lm_tables(
     is the constant penalty added to the unigram logprob when a bigram
     is unseen.
 
-    Two reference-corpus passes (token counts + bigram counts — both
-    single explode + hash aggregation + TakeOrdered with deterministic
-    tie-breaks); all collects are contract-bounded and fail-fast.
+    Exactly TWO reference-corpus passes: the token-count aggregation is
+    computed once, persisted, and shared by the unigram table, the
+    total count, and the bigram-context counts c(prev) (the c(prev)
+    lookup joins the persisted aggregate against the small prev set —
+    never an isin() with tens of thousands of literals in the plan, and
+    never a corpus rescan); the bigram explode + aggregation is the
+    second pass. All collects are contract-bounded and fail-fast.
     """
     import math
 
@@ -401,28 +410,35 @@ def bigram_lm_tables(
         raise ValueError(
             f"bigram_k={bigram_k} exceeds the driver bound {MAX_BIGRAM_K}"
         )
-    uni_table, oov_lp_c = unigram_lm_table(ref_df, text_col, vocab_k, alpha)
-    toks = _toks(F.col(text_col))
-    sz = F.size(toks)
-    pairs = F.arrays_zip(
-        F.slice(toks, 1, F.greatest(sz - 1, F.lit(0))).alias("prev"),
-        F.slice(toks, 2, F.greatest(sz - 1, F.lit(0))).alias("tok"),
-    )
-    bi_cnt = (
-        ref_df.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
-        .groupBy("prev", "tok")
-        .agg(F.count(F.lit(1)).alias("c2"))
-        .orderBy(F.col("c2").desc(), F.col("prev"), F.col("tok"))
-        .limit(bigram_k)
-    )
-    bi_rows = bi_cnt.collect()
-    prevs = sorted({r["prev"] for r in bi_rows})
-    cnt = token_counts(ref_df, text_col)
-    c1 = {
-        r["tok"]: r["c"]
-        for r in cnt.where(F.col("tok").isin(prevs)).collect()
-    }
+    spark = ref_df.sparkSession
+    cnt = token_counts(ref_df, text_col).persist()
+    try:
+        uni_table, oov_lp_c = unigram_lm_table(
+            ref_df, text_col, vocab_k, alpha, counts=cnt
+        )
+        toks = _toks(F.col(text_col))
+        sz = F.size(toks)
+        pairs = F.arrays_zip(
+            F.slice(toks, 1, F.greatest(sz - 1, F.lit(0))).alias("prev"),
+            F.slice(toks, 2, F.greatest(sz - 1, F.lit(0))).alias("tok"),
+        )
+        bi_cnt = (
+            ref_df.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
+            .groupBy("prev", "tok")
+            .agg(F.count(F.lit(1)).alias("c2"))
+            .orderBy(F.col("c2").desc(), F.col("prev"), F.col("tok"))
+            .limit(bigram_k)
+        )
+        bi_rows = bi_cnt.collect()
+        prevs = sorted({r["prev"] for r in bi_rows})
+        prev_df = spark.createDataFrame([(p,) for p in prevs], "tok string")
+        c1 = {
+            r["tok"]: r["c"]
+            for r in cnt.join(F.broadcast(prev_df), "tok").collect()
+        }
+    finally:
+        cnt.unpersist()
     bi_table = [
         (
             r["prev"],
@@ -471,9 +487,16 @@ def bigram_cross_entropy(
         F.concat(F.array(F.lit(None).cast("string")), F.slice(toks, 1, F.greatest(sz - 1, F.lit(0)))).alias("prev"),
         toks.alias("tok"),
     )
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(pairs).alias("p")
-    ).select("id", F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
+    # arrays_zip NULL-PADS unequal lengths: for a zero-token doc the
+    # [NULL]-prefixed prev array zips against empty toks into one
+    # {prev: NULL, tok: NULL} element — drop it post-explode (real
+    # tokens are never null; _toks filters empties), keeping the
+    # "zero-token docs are absent" contract and oracle parity
+    exploded = (
+        df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
+        .select("id", F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
+        .where(F.col("tok").isNotNull())
+    )
     scored = (
         exploded.join(F.broadcast(bi), ["prev", "tok"], "left")
         .join(F.broadcast(uni), ["tok"], "left")
