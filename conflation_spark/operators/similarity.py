@@ -84,6 +84,10 @@ def _collect_query_matrix(
             "max_queries explicitly)"
         )
     rows = probe.collect()
+    if not rows:
+        # keep the matrix 2-D so callers can shape-check / short-circuit
+        # instead of tripping on a 1-D shape-(0,) array
+        return np.empty(0, dtype="U1"), np.empty((0, 0)), np.empty(0)
     qids = np.array([r["qid"] for r in rows], dtype="U")
     order = np.argsort(qids, kind="stable")
     qids = qids[order]
@@ -107,6 +111,10 @@ def brute_force_topk(
     are stable across engines and partitionings. Self-matches excluded.
     """
     qids, qmat, qnrm = _collect_query_matrix(queries, query_id_col, vec_col, max_queries)
+    if not len(qids):  # empty probe set -> empty result, not a kernel crash
+        return _topk_window(
+            embeddings.sparkSession.createDataFrame([], TOPK_SCHEMA), k
+        )
 
     def op(batches):
         for pdf in batches:
@@ -327,6 +335,61 @@ def pq_encode(
     )
 
 
+def _adc_luts(qids, qmat, codebooks):
+    """Per-query integer ADC lookup tables, shape (len(qids), m_sub,
+    n_cents): LUT[q, m, c] = floor(|qsub_m - centroid_c|^2 * 1e4 + 0.5).
+    Integerizing at 1e4 BEFORE summation keeps ``adc_c`` an exact long
+    sum in any order — the parity-critical convention shared by
+    ``pq_topk`` and ``ivf_pq_topk`` (single source here so the two
+    operators cannot drift). Returns (luts, qmat) with qmat normalized
+    to shape (0, dim) for an empty probe set so downstream slices and
+    broadcasts stay 2-D instead of crashing on a shape-(0,) array."""
+    m_sub, n_cents, dsub = codebooks.shape
+    if not len(qids):
+        qmat = np.zeros((0, m_sub * dsub))
+    elif qmat.shape[1] != m_sub * dsub:
+        raise ValueError(
+            f"query dim {qmat.shape[1]} does not match codebooks "
+            f"({m_sub} subspaces x {dsub} dims) — mismatched training?"
+        )
+    luts = np.empty((len(qids), m_sub, n_cents), dtype=np.int64)
+    for m in range(m_sub):
+        qsub = qmat[:, m * dsub : (m + 1) * dsub]
+        d2 = ((qsub[:, None, :] - codebooks[m][None, :, :]) ** 2).sum(-1)
+        luts[:, m, :] = np.floor(d2 * 1e4 + 0.5).astype(np.int64)
+    return luts, qmat
+
+
+def _adc_rank(scored: DataFrame, keep: int) -> DataFrame:
+    """Rank ADC-scored candidates by (adc_c asc, neighbor_id asc) and
+    keep the top ``keep`` per query — the shared pq/ivf_pq contract."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_c").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= keep)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "adc_c"
+        )
+    )
+
+
+def _adc_rerank(adc_ranked, embeddings, queries, k, id_col, vec_col, query_id_col):
+    """Exact-cosine re-rank of a broadcastable ADC shortlist: gather the
+    raw vectors (corpus scanned once, shortlist broadcast), score with
+    the shared cosine kernel, re-rank to top-k — the common rerank tail
+    of ``pq_topk`` and ``ivf_pq_topk``."""
+    qv = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    ev = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("evec"))
+    shortlist = adc_ranked.select("query_id", "neighbor_id")
+    joined = F.broadcast(shortlist.join(F.broadcast(qv), "query_id")).join(ev, "neighbor_id")
+    exact = joined.select("query_id", "qvec", "neighbor_id", "evec").mapInPandas(
+        _cosine_pairs_kernel, schema=TOPK_SCHEMA
+    )
+    return _topk_window(exact, k)
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -370,16 +433,7 @@ def pq_topk(
         codebooks = train_pq_codebooks(embeddings, m_sub, n_cents, id_col, vec_col)
     m_sub, n_cents, dsub = codebooks.shape
     qids, qmat, _ = _collect_query_matrix(queries, query_id_col, vec_col, max_queries)
-    if len(qids) and qmat.shape[1] != m_sub * dsub:
-        raise ValueError(
-            f"query dim {qmat.shape[1]} does not match codebooks "
-            f"({m_sub} subspaces x {dsub} dims) — mismatched training?"
-        )
-    luts = np.empty((len(qids), m_sub, n_cents), dtype=np.int64)
-    for m in range(m_sub):
-        qsub = qmat[:, m * dsub : (m + 1) * dsub]
-        d2 = ((qsub[:, None, :] - codebooks[m][None, :, :]) ** 2).sum(-1)
-        luts[:, m, :] = np.floor(d2 * 1e4 + 0.5).astype(np.int64)
+    luts, qmat = _adc_luts(qids, qmat, codebooks)
     marange = np.arange(m_sub)
     keep = rerank if rerank else k
 
@@ -408,26 +462,10 @@ def pq_topk(
     scored = pq_encode(embeddings, codebooks, id_col, vec_col).mapInPandas(
         op, schema="query_id string, neighbor_id string, adc_c long"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_c").asc(), F.col("neighbor_id").asc()
-    )
-    adc_ranked = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= (rerank if rerank else k))
-        .select(
-            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "adc_c"
-        )
-    )
+    adc_ranked = _adc_rank(scored, keep)
     if not rerank:
         return adc_ranked
-    qv = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    ev = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("evec"))
-    shortlist = adc_ranked.select("query_id", "neighbor_id")
-    joined = F.broadcast(shortlist.join(F.broadcast(qv), "query_id")).join(ev, "neighbor_id")
-    exact = joined.select("query_id", "qvec", "neighbor_id", "evec").mapInPandas(
-        _cosine_pairs_kernel, schema=TOPK_SCHEMA
-    )
-    return _topk_window(exact, k)
+    return _adc_rerank(adc_ranked, embeddings, queries, k, id_col, vec_col, query_id_col)
 
 
 def lsh_tables_udf(planes: np.ndarray, n_tables: int):
@@ -558,16 +596,7 @@ def ivf_pq_topk(
         pq_encode_udf(codebooks)(F.col(vec_col)).alias("codes"),
     )
     qids, qmat, _ = _collect_query_matrix(queries, query_id_col, vec_col, max_queries)
-    if len(qids) and qmat.shape[1] != m_sub * dsub:
-        raise ValueError(
-            f"query dim {qmat.shape[1]} does not match codebooks "
-            f"({m_sub} subspaces x {dsub} dims) — mismatched training?"
-        )
-    luts = np.empty((len(qids), m_sub, n_cents), dtype=np.int64)
-    for m in range(m_sub):
-        qsub = qmat[:, m * dsub : (m + 1) * dsub]
-        d2 = ((qsub[:, None, :] - codebooks[m][None, :, :]) ** 2).sum(-1)
-        luts[:, m, :] = np.floor(d2 * 1e4 + 0.5).astype(np.int64)
+    luts, qmat = _adc_luts(qids, qmat, codebooks)
     qd2 = ((qmat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
     probe_lists = np.argsort(qd2, axis=1, kind="stable")[:, :n_probe]
     spark = embeddings.sparkSession
@@ -608,23 +637,7 @@ def ivf_pq_topk(
     scored = cand.select("query_id", "neighbor_id", "codes").mapInPandas(
         op, schema="query_id string, neighbor_id string, adc_c long"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_c").asc(), F.col("neighbor_id").asc()
-    )
-    adc_ranked = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= keep)
-        .select(
-            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "adc_c"
-        )
-    )
+    adc_ranked = _adc_rank(scored, keep)
     if not rerank:
         return adc_ranked
-    qv = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    ev = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("evec"))
-    shortlist = adc_ranked.select("query_id", "neighbor_id")
-    joined = F.broadcast(shortlist.join(F.broadcast(qv), "query_id")).join(ev, "neighbor_id")
-    exact = joined.select("query_id", "qvec", "neighbor_id", "evec").mapInPandas(
-        _cosine_pairs_kernel, schema=TOPK_SCHEMA
-    )
-    return _topk_window(exact, k)
+    return _adc_rerank(adc_ranked, embeddings, queries, k, id_col, vec_col, query_id_col)

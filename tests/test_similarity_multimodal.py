@@ -418,3 +418,20 @@ def test_ivf_pq_candidate_join_broadcasts_probes(spark, vectors):
         .toString()
     )
     assert "BroadcastHashJoin" in plan  # probes side broadcast; corpus unshuffled
+
+
+def test_empty_probe_set_returns_empty(spark, vectors):
+    """An empty query DataFrame must yield an empty result from every
+    collect-side ANN operator, not an IndexError on a shape-(0,) matrix
+    (r5 review finding: the len(qids)-aware dim guard skipped validation
+    but the LUT build still sliced the 1-D empty array)."""
+    empty_q = vectors.limit(0).selectExpr("vec_id as query_id", "vec")
+    bf = similarity.brute_force_topk(vectors, empty_q, k=3, id_col="vec_id", vec_col="vec")
+    assert bf.count() == 0
+    assert [f.name for f in bf.schema] == ["query_id", "neighbor_id", "rank", "cosine_c"]
+    pq = similarity.pq_topk(vectors, empty_q, k=3, id_col="vec_id", vec_col="vec")
+    assert pq.count() == 0
+    ivfpq = similarity.ivf_pq_topk(
+        vectors, empty_q, k=3, id_col="vec_id", vec_col="vec", rerank=10
+    )
+    assert ivfpq.count() == 0
