@@ -270,6 +270,18 @@ def _text_dir(sf_dir: str) -> str:
     return ensure_text_fixture(_sf_name(sf_dir))
 
 
+def _gif_dir(sf_dir: str) -> str:
+    from conflation_spark.datagen_text import ensure_gif_fixture
+
+    return ensure_gif_fixture(_sf_name(sf_dir))
+
+
+def _warc_dir(sf_dir: str) -> str:
+    from conflation_spark.datagen_warc import ensure_warc_fixture
+
+    return ensure_warc_fixture(_sf_name(sf_dir))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.dedup import exact_dup_groups
 
@@ -731,6 +743,52 @@ def _q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "height",
             (F.greatest(*diffs) <= F.lit(JPEG_FEAT_TOL)).alias("feat_ok"),
         )
+    )
+
+
+def _q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL image decode through the same seam: the fixture's
+    gif_blobs carry genuine GIF89a bytes (pure-stdlib LZW codec,
+    functions/gif.py — color tables, interlacing, extension skipping)
+    decoded via multimodal.decode_gif_image. GIF is lossless for indexed
+    content, so this is exact-hash gated like PNG (truth planted from
+    palette[idx] at generation)."""
+    from conflation_spark.operators.multimodal import (
+        decode_gif_image,
+        extract_image_features,
+    )
+
+    blobs = spark.read.parquet(f"{_gif_dir(sf_dir)}/gif_blobs.parquet")
+    feats = extract_image_features(blobs, decoder=decode_gif_image)
+    q = [
+        F.floor(F.col("feature")[i] * 1e6 + F.lit(0.5)).cast("long").alias(f"f{i}")
+        for i in range(16)
+    ]
+    return feats.select("media_ref", "width", "height", *q)
+
+
+def _q_warc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-archive ingestion end-to-end (sources/warc.py): stream the
+    fixture's Common Crawl-style .warc.gz shards (one gzip member per
+    record), classify/skip non-response records in the kernel, parse the
+    HTTP framing, and extract text/title/links from the HTML with the
+    stdlib parser (functions/html.py — tags stripped, entities resolved,
+    script/style dropped, block-tag run breaking). The oracle reads
+    truth planted from the SOURCE words before HTML-wrapping, so hash
+    equality proves the whole inversion chain. Parallelism = one task
+    per shard (shards are non-splittable; see read_warc's scale notes)."""
+    from conflation_spark.sources.warc import read_warc, warc_html_text
+
+    wd = _warc_dir(sf_dir)
+    recs = read_warc(spark, f"{wd}/*.warc.gz", record_types=("response",))
+    txt = warc_html_text(recs)
+    return txt.select(
+        "record_id",
+        F.col("target_uri").alias("url"),
+        "http_status",
+        "title",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_links",
     )
 
 
@@ -1406,6 +1464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": _q_bpe_tokens,
         "bigram_lm_ce": _q_bigram_lm_ce,
         "ann_ivf_pq_topk": _q_ann_ivf_pq,
+        "gif_features": _q_gif_features,
+        "warc_text": _q_warc_text,
     }
 
 
@@ -1513,6 +1573,8 @@ def oracle_sql() -> dict[str, str]:
     # oracles must resolve the same fixture dir the queries used at sf0.01
     d = _spatial_dir("/root/testdata/sf0.01")
     td = _text_dir("/root/testdata/sf0.01")
+    gd = _gif_dir("/root/testdata/sf0.01")
+    wd = _warc_dir("/root/testdata/sf0.01")
     jaccard_sql = _DUCK_JACCARD.format(grams=_DUCK_GRAMS, td=td, max_df=NGRAM_MAX_DF)
     langs = ("de", "en", "es", "fr", "zh")
     from conflation_spark.operators.text import LANG_STOPWORDS
@@ -1949,6 +2011,20 @@ FROM b
 SELECT media_ref, true_width AS width, true_height AS height,
        {", ".join(f"f{i} AS f{i}" for i in range(16))}
 FROM read_parquet('{td}/media_blobs.parquet')
+""",
+        # gif: lossless indexed decode — exact-hash like PNG; truth is
+        # palette[idx] features planted at generation (functions/gif.py)
+        "gif_features": f"""
+SELECT media_ref, true_width AS width, true_height AS height,
+       {", ".join(f"f{i} AS f{i}" for i in range(16))}
+FROM read_parquet('{gd}/gif_blobs.parquet')
+""",
+        # warc: truth planted from SOURCE words before HTML-wrapping;
+        # equality proves gzip-member split + WARC/HTTP framing + the
+        # stdlib HTML extraction chain (sources/warc.py, functions/html.py)
+        "warc_text": f"""
+SELECT record_id, url, http_status, title, text_md5, n_links
+FROM read_parquet('{wd}/warc_truth.parquet')
 """,
         # jpeg: lossy decode — dims exact, features tolerance-gated
         # Spark-side; the oracle expects every row to pass (feat_ok=TRUE)

@@ -416,6 +416,77 @@ def gen_pii_docs(out_dir: str, n: int, seed: int = 13) -> None:
     pq.write_table(tbl, os.path.join(out_dir, "pii_docs.parquet"), row_group_size=512)
 
 
+SF_GIF = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1200, "sf1": 4000}
+
+
+def gen_gif_blobs(out_dir: str, n: int, seed: int = 43) -> None:
+    """Real GIF blobs + planted truth — the palette-indexed image format
+    (`functions/gif.py`): content = genuine GIF89a bytes (LZW, ~50%
+    interlaced, ~30% local-color-table layout, most carrying graphic
+    control + comment extensions the decoder must skip), truth = width /
+    height plus the quantized 4x4 grid-mean feature of ``palette[idx]``
+    — the exact pixels a correct decode returns, GIF being lossless for
+    indexed content. Same exact-hash oracle design as PNG."""
+    from conflation_spark.functions.gif import encode_gif
+    from conflation_spark.functions.png import image_feature_grid, quantize_feature
+
+    rng = np.random.default_rng(seed)
+    refs, blobs, widths, heights = [], [], [], []
+    feats = np.zeros((n, 16), dtype=np.int64)
+    for i in range(n):
+        h = int(rng.integers(8, 73))
+        w = int(rng.integers(8, 73))
+        n_pal = int(rng.integers(8, 257))
+        pal = rng.integers(0, 256, (n_pal, 3)).astype(np.uint8)
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = yy * (n_pal - 1) // max(h - 1, 1) + xx * (n_pal - 1) // max(w - 1, 1)
+        idx = ((base // 2 + rng.integers(0, 5, (h, w))) % n_pal).astype(np.uint8)
+        refs.append(f"g{i:06d}")
+        blobs.append(
+            encode_gif(
+                pal,
+                idx,
+                interlace=bool(rng.random() < 0.5),
+                local_table=bool(rng.random() < 0.3),
+                extensions=bool(rng.random() < 0.75),
+            )
+        )
+        widths.append(w)
+        heights.append(h)
+        feats[i] = quantize_feature(image_feature_grid(pal[idx]))
+    cols = {
+        "media_ref": pa.array(refs, pa.string()),
+        "media_kind": pa.array(["image"] * n, pa.string()),
+        "content": pa.array(blobs, pa.binary()),
+        "true_width": pa.array(widths, pa.int32()),
+        "true_height": pa.array(heights, pa.int32()),
+    }
+    for j in range(16):
+        cols[f"f{j}"] = pa.array(feats[:, j].tolist(), pa.int64())
+    pq.write_table(
+        pa.table(cols), os.path.join(out_dir, "gif_blobs.parquet"), row_group_size=128
+    )
+
+
+def ensure_gif_fixture(sf_name: str, root: str | None = None) -> str:
+    """GIF blobs live in their own fixture dir with their own marker so
+    adding them never regenerates the (expensive) main text fixture."""
+    root = root or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "gif"
+    )
+    if sf_name not in SF_GIF:
+        sf_name = "sf0.01"
+    out = os.path.join(root, sf_name)
+    marker = os.path.join(out, "_SUCCESS_v1")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    gen_gif_blobs(out, SF_GIF[sf_name])
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
 def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     root = root or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "text"

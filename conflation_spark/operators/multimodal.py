@@ -5,13 +5,15 @@ a blobs table), mirroring the reference where every trace point IS an image
 (Mapillary image ids, /root/reference/conflation/trace_fetching/mapillary.py:41,448-456).
 
 ALL THREE modalities decode for REAL inside ``mapInPandas`` kernels with
-pure-stdlib codecs: PNG images (chunk/CRC parsing + inflate + all five
-unfilters, ``functions/png.py``), 16-bit PCM WAV audio (RIFF/fmt/data
-parsing, ``functions/wav.py``), and uncompressed Y4M video (stream
-header + FRAME markers + 4:2:0 planes, ``functions/y4m.py``) — no
-PIL/libsndfile/ffmpeg dependency anywhere. COMPRESSED formats
-(JPEG/H.264/...) genuinely have no decoder in this environment; they go
-through the injectable ``decoder`` seams, and ``sample_frames`` keeps a
+pure-stdlib/numpy codecs: images as PNG (chunk/CRC parsing + inflate +
+all five unfilters, ``functions/png.py``), baseline+progressive JPEG
+(T.81 Huffman/dequant/IDCT, ``functions/jpeg.py``) and GIF (LZW +
+color tables + interlace, ``functions/gif.py``); 16-bit PCM WAV audio
+(RIFF/fmt/data parsing, ``functions/wav.py``); uncompressed Y4M video
+(stream header + FRAME markers + 4:2:0 planes, ``functions/y4m.py``) —
+no PIL/libsndfile/ffmpeg dependency anywhere. Formats with no decoder
+in this environment (H.264, hierarchical JPEG) go through the
+injectable ``decoder`` seams, and ``sample_frames`` keeps a
 deterministic digest sampler for opaque containers.
 """
 
@@ -96,6 +98,20 @@ def decode_jpeg_image(content: bytes) -> tuple[int, int, np.ndarray]:
     from conflation_spark.functions.jpeg import decode_jpeg
 
     arr = decode_jpeg(content)
+    h, w = arr.shape[:2]
+    return w, h, image_feature_grid(arr)
+
+
+def decode_gif_image(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Real palette-indexed image decode: GIF87a/89a bytes -> (width,
+    height, 16-dim grid-mean feature) via the pure-stdlib LZW decoder
+    (`functions/gif.py` — color tables, interlacing, extension-block
+    skipping). Third real format through the ``decoder`` seam; GIF is
+    lossless for indexed content, so the `gif_features` oracle is
+    exact-hash like PNG, not tolerance-gated like JPEG."""
+    from conflation_spark.functions.gif import decode_gif
+
+    arr = decode_gif(content)
     h, w = arr.shape[:2]
     return w, h, image_feature_grid(arr)
 

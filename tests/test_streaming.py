@@ -16,6 +16,13 @@ from conflation_spark.streaming.ingest import (
 )
 
 
+def _await_done(q, seconds):
+    """awaitTermination returns False on timeout WITHOUT raising — a
+    partially-filled memory sink then fails the equality assert with a
+    misleading diff. Fail loudly, with slack for loaded CI hosts."""
+    assert q.awaitTermination(3 * seconds), "streaming query did not terminate"
+
+
 def test_stateless_accept_equals_batch(spark, fixture_dir):
     docs = load_documents(spark, fixture_dir)
     got = {
@@ -37,7 +44,7 @@ def test_streaming_trace_accept_available_now(spark, fixture_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q, 120)
     got = {
         r["doc_id"]
         for r in spark.sql("select doc_id from accepts where accept").collect()
@@ -60,7 +67,7 @@ def test_windowed_event_counts_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q, 120)
     got = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
         for r in spark.sql("select * from wincounts").collect()
@@ -95,7 +102,7 @@ def test_stateful_user_totals_across_microbatches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _await_done(q, 180)
     rows = spark.sql("select * from usertotals").collect()
     assert rows
     # multiple microbatches actually happened (state was exercised)
@@ -146,7 +153,7 @@ def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q, 120)
     rows = spark.sql("select text_id, text from dedup_stream").collect()
     import re
 
@@ -177,7 +184,7 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q, 120)
     got = {
         (r["user_id"], r["sess_start"]): (r["sess_end"], r["n_events"], r["sum_value"])
         for r in spark.sql("select * from sesscounts").collect()
@@ -278,7 +285,7 @@ def test_stream_stream_interval_join_available_now(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _await_done(q, 180)
     got = {
         (r["event_id"], r["rj_win_id"])
         for r in spark.sql("select event_id, rj_win_id from ss_interval").collect()
@@ -312,7 +319,7 @@ def test_streaming_kmv_equals_batch_sketch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _await_done(q, 180)
     rows = spark.sql("select * from kmv_stream").collect()
     assert rows
     finals: dict = {}
@@ -388,7 +395,7 @@ def test_streaming_minhash_pairs_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    _await_done(q, 240)
     rows = spark.sql("select * from mh_pairs").collect()
     got = {(r["id_a"], r["id_b"]) for r in rows}
     want = {
@@ -421,7 +428,7 @@ def test_streaming_quality_scores_equal_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q, 120)
     got = {tuple(r) for r in spark.sql("select * from qscores").collect()}
     want = {
         tuple(r)

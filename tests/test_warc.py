@@ -1,0 +1,170 @@
+"""WARC source + HTML text extraction tests (sources/warc.py,
+functions/html.py, datagen_warc.py)."""
+
+import glob
+import gzip
+import hashlib
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from conflation_spark.datagen_warc import gen_warc_fixture
+from conflation_spark.functions.html import extract_text
+from conflation_spark.sources.warc import (
+    http_response_block,
+    iter_warc_records,
+    read_warc,
+    warc_html_text,
+    write_warc_gz,
+)
+
+
+def _mk_records():
+    html = (
+        b"<html><head><title>T &amp; t</title><script>drop()</script></head>"
+        b"<body><p>alpha  beta</p><a href='/x'>gamma</a></body></html>"
+    )
+    return [
+        dict(warc_type="warcinfo", record_id="<urn:uuid:1>",
+             warc_date="2026-01-01T00:00:00Z", block=b"software: t\r\n"),
+        dict(warc_type="request", record_id="<urn:uuid:2>", target_uri="http://e/a",
+             warc_date="2026-01-01T00:00:00Z",
+             block=b"GET /a HTTP/1.1\r\nHost: e\r\n\r\n"),
+        dict(warc_type="response", record_id="<urn:uuid:3>", target_uri="http://e/a",
+             warc_date="2026-01-01T00:00:00Z", block=http_response_block(html)),
+        dict(warc_type="response", record_id="<urn:uuid:4>", target_uri="http://e/b",
+             warc_date="2026-01-01T00:00:00Z",
+             block=http_response_block(b"nf", 404, "text/plain")),
+    ]
+
+
+def test_writer_reader_roundtrip(tmp_path):
+    p = str(tmp_path / "t.warc.gz")
+    write_warc_gz(p, _mk_records())
+    with open(p, "rb") as f:
+        out = list(iter_warc_records(f))
+    assert [r["warc_type"] for r in out] == ["warcinfo", "request", "response", "response"]
+    assert out[2]["http_status"] == 200
+    assert out[2]["http_content_type"].startswith("text/html")
+    assert out[3]["http_status"] == 404
+    text, title, n_links = extract_text(out[2]["payload"].decode())
+    assert (text, title, n_links) == ("alpha beta gamma", "T & t", 1)
+
+
+def test_single_member_gzip_layout(tmp_path):
+    """A shard compressed as ONE gzip member (legal, non-CC layout) must
+    parse identically to the member-per-record layout."""
+    p = str(tmp_path / "multi.warc.gz")
+    write_warc_gz(p, _mk_records())
+    raw, data = b"", open(p, "rb").read()
+    while data:
+        z = zlib.decompressobj(wbits=31)
+        raw += z.decompress(data)
+        data = z.unused_data
+    p1 = str(tmp_path / "single.warc.gz")
+    with open(p1, "wb") as f:
+        f.write(gzip.compress(raw, mtime=0))
+    a = [r["record_id"] for r in iter_warc_records(open(p, "rb"))]
+    b = [r["record_id"] for r in iter_warc_records(open(p1, "rb"))]
+    assert a == b
+
+
+def test_truncated_raises(tmp_path):
+    p = str(tmp_path / "t.warc.gz")
+    write_warc_gz(p, _mk_records())
+    blob = open(p, "rb").read()
+    # cut inside the last member: either a gzip error or a framing error
+    with pytest.raises((ValueError, zlib.error, EOFError)):
+        import io
+
+        list(iter_warc_records(io.BytesIO(blob[: len(blob) - 20])))
+
+
+def test_folded_header_and_missing_content_length(tmp_path):
+    import io
+
+    rec = (b"WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Record-ID: <urn:uuid:9>\r\n"
+           b"X-Long: part one\r\n  part two\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+    out = list(iter_warc_records(io.BytesIO(gzip.compress(rec, mtime=0))))
+    assert out[0]["payload"] == b"hi"
+    bad = b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\nx\r\n\r\n"
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(iter_warc_records(io.BytesIO(gzip.compress(bad, mtime=0))))
+
+
+def test_extract_text_malformed_recovers():
+    text, title, n_links = extract_text("<p>one <b>two</p></b> three <a href=x>four")
+    assert text == "one two three four"
+    assert n_links == 1
+
+
+def test_extract_text_block_vs_inline():
+    """Block tags break text runs (browser semantics); inline tags do not."""
+    assert extract_text("<p>a</p><p>b</p>")[0] == "a b"
+    assert extract_text("x<b>y</b>z")[0] == "xyz"
+    assert extract_text("three<a href=x>four</a>")[0] == "threefour"
+    assert extract_text("one<br>two")[0] == "one two"
+
+
+def test_fixture_truth_pure_python(tmp_path):
+    """Every planted HTML page's (title, text_md5, n_links) is recovered
+    through the full chain without Spark."""
+    gen_warc_fixture(str(tmp_path), 60)
+    import pyarrow.parquet as pq
+
+    truth = pq.read_table(str(tmp_path / "warc_truth.parquet")).to_pydict()
+    tmap = {rid: i for i, rid in enumerate(truth["record_id"])}
+    seen = 0
+    for shard in sorted(glob.glob(str(tmp_path / "*.warc.gz"))):
+        for rec in iter_warc_records(open(shard, "rb")):
+            if rec["warc_type"] != "response" or not rec[
+                "http_content_type"
+            ].startswith("text/html"):
+                continue
+            i = tmap[rec["record_id"]]
+            text, title, n_links = extract_text(rec["payload"].decode())
+            assert title == truth["title"][i]
+            assert hashlib.md5(text.encode()).hexdigest() == truth["text_md5"][i]
+            assert n_links == truth["n_links"][i]
+            seen += 1
+    assert seen == len(tmap) > 0
+
+
+def test_read_warc_spark(spark, tmp_path):
+    """Distributed scan: record counts and payloads survive the Arrow
+    boundary; the type filter prunes in the kernel; text extraction
+    matches the planted truth for every page."""
+    gen_warc_fixture(str(tmp_path), 60)
+    recs = read_warc(spark, str(tmp_path / "*.warc.gz"))
+    by_type = {r["warc_type"]: r["n"] for r in
+               recs.groupBy("warc_type").count().withColumnRenamed("count", "n").collect()}
+    assert by_type["warcinfo"] == len(glob.glob(str(tmp_path / "*.warc.gz")))
+    assert by_type["request"] == 60
+    assert by_type["response"] == 60
+
+    only_resp = read_warc(spark, str(tmp_path / "*.warc.gz"), record_types=("response",))
+    assert only_resp.count() == 60
+    assert only_resp.select("warc_type").distinct().collect()[0][0] == "response"
+
+    txt = warc_html_text(only_resp)
+    rows = {r["record_id"]: r for r in txt.collect()}
+    import pyarrow.parquet as pq
+
+    truth = pq.read_table(str(tmp_path / "warc_truth.parquet")).to_pydict()
+    assert len(rows) == len(truth["record_id"])
+    for i, rid in enumerate(truth["record_id"]):
+        r = rows[rid]
+        assert r["title"] == truth["title"][i]
+        assert hashlib.md5(r["text"].encode()).hexdigest() == truth["text_md5"][i]
+        assert r["n_links"] == truth["n_links"][i]
+        assert r["target_uri"] == truth["url"][i]
+
+
+def test_read_warc_one_task_per_shard(spark, tmp_path):
+    """The scan's parallelism contract: the path list repartitions to one
+    partition per shard (shards are non-splittable; parallelism = files)."""
+    gen_warc_fixture(str(tmp_path), 240)  # 3 shards
+    recs = read_warc(spark, str(tmp_path / "*.warc.gz"))
+    assert recs.rdd.getNumPartitions() == len(glob.glob(str(tmp_path / "*.warc.gz")))
