@@ -792,6 +792,19 @@ def _q_warc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL structural features over the crawl fixture's page URLs
+    (operators/corpus.url_features): host/tld/path-depth/query-param
+    extraction is pure codegen regex (patterns shared VERBATIM with the
+    DuckDB twin), and the per-host doc count — the domain-cap signal —
+    is a groupBy partial-agg joined back on host (never a window count,
+    which would single-task a hot domain)."""
+    from conflation_spark.operators.corpus import url_features
+
+    truth = spark.read.parquet(f"{_warc_dir(sf_dir)}/warc_truth.parquet")
+    return url_features(truth.select("url"))
+
+
 CHUNK_WINDOW, CHUNK_OVERLAP = 32, 8
 PACK_TARGET = 512
 
@@ -1466,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq_topk": _q_ann_ivf_pq,
         "gif_features": _q_gif_features,
         "warc_text": _q_warc_text,
+        "url_stats": _q_url_stats,
     }
 
 
@@ -1575,6 +1589,13 @@ def oracle_sql() -> dict[str, str]:
     td = _text_dir("/root/testdata/sf0.01")
     gd = _gif_dir("/root/testdata/sf0.01")
     wd = _warc_dir("/root/testdata/sf0.01")
+    from conflation_spark.operators.corpus import (
+        URL_HOST_RE as _URL_HOST_RE,
+        URL_PATH_RE as _URL_PATH_RE,
+        URL_PORT_RE as _URL_PORT_RE,
+        URL_QUERY_RE as _URL_QUERY_RE,
+        URL_TLD_RE as _URL_TLD_RE,
+    )
     jaccard_sql = _DUCK_JACCARD.format(grams=_DUCK_GRAMS, td=td, max_df=NGRAM_MAX_DF)
     langs = ("de", "en", "es", "fr", "zh")
     from conflation_spark.operators.text import LANG_STOPWORDS
@@ -2025,6 +2046,34 @@ FROM read_parquet('{gd}/gif_blobs.parquet')
         "warc_text": f"""
 SELECT record_id, url, http_status, title, text_md5, n_links
 FROM read_parquet('{wd}/warc_truth.parquet')
+""",
+        # url features: regex patterns shared verbatim with the Spark
+        # side (operators/corpus.py URL_*_RE); literal-char replaces use
+        # non-regex replace() (all-occurrence in both engines)
+        "url_stats": f"""
+WITH f AS (
+  SELECT url,
+         regexp_replace(regexp_extract(lower(url), '{_URL_HOST_RE}', 1),
+                        '{_URL_PORT_RE}', '') AS host,
+         regexp_extract(lower(url), '{_URL_PATH_RE}', 1) AS path,
+         regexp_extract(lower(url), '{_URL_QUERY_RE}', 1) AS query
+  FROM read_parquet('{wd}/warc_truth.parquet')
+),
+g AS (
+  SELECT url, host,
+         regexp_extract(host, '{_URL_TLD_RE}', 1) AS tld,
+         CAST(length(regexp_replace(path, '/+$', '')) -
+              length(replace(regexp_replace(path, '/+$', ''), '/', '')) AS BIGINT)
+           AS path_depth,
+         CAST(CASE WHEN query = '' THEN 0
+              ELSE length(query) - length(replace(query, '&', '')) + 1 END AS BIGINT)
+           AS n_params,
+         CAST(CASE WHEN lower(url) LIKE 'https://%' THEN 1 ELSE 0 END AS BIGINT)
+           AS is_https
+  FROM f
+)
+SELECT g.*, c.host_docs
+FROM g JOIN (SELECT host, COUNT(*) AS host_docs FROM g GROUP BY host) c USING (host)
 """,
         # jpeg: lossy decode — dims exact, features tolerance-gated
         # Spark-side; the oracle expects every row to pass (feat_ok=TRUE)

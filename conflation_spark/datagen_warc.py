@@ -112,6 +112,23 @@ def gen_warc_fixture(out_dir: str, n_pages: int, seed: int = 41) -> None:
         rid += 1
         return f"<urn:uuid:{rid:08d}-0000-4000-8000-deadbeef{rid % 10_000:04d}>"
 
+    domains = [
+        "synth.example", "data.example.com", "news.test.io", "archive.example.net",
+        "blog.example.org", "media.test.dev", "wiki.example.edu", "shop.test.biz",
+    ]
+
+    def _url(rng, page: int) -> str:
+        scheme = "https" if rng.random() < 0.6 else "http"
+        sub = ["", "www.", "cdn.", "m."][int(rng.integers(0, 4))]
+        host = sub + domains[int(rng.integers(0, len(domains)))]
+        port = ":8080" if rng.random() < 0.05 else ""
+        depth = int(rng.integers(0, 4))
+        segs = [VOCAB[int(rng.integers(0, len(VOCAB)))] for _ in range(depth)]
+        path = "/" + "/".join([*segs, f"{page:06d}"])
+        nq = int(rng.integers(0, 4)) if rng.random() < 0.3 else 0
+        q = "&".join(f"k{j}={int(rng.integers(0, 100))}" for j in range(nq))
+        return f"{scheme}://{host}{port}{path}" + (f"?{q}" if q else "")
+
     page = 0
     shard_no = 0
     while page < n_pages:
@@ -125,7 +142,7 @@ def gen_warc_fixture(out_dir: str, n_pages: int, seed: int = 41) -> None:
             )
         ]
         for _ in range(n_here):
-            url = f"http://synth.example/{page:06d}"
+            url = _url(rng, page)
             date = f"2026-01-{int(rng.integers(1, 29)):02d}T{int(rng.integers(0, 24)):02d}:00:00Z"
             records.append(
                 dict(
@@ -133,7 +150,7 @@ def gen_warc_fixture(out_dir: str, n_pages: int, seed: int = 41) -> None:
                     record_id=_rid(),
                     target_uri=url,
                     warc_date=date,
-                    block=f"GET /{page:06d} HTTP/1.1\r\nHost: synth.example\r\n\r\n".encode(),
+                    block=f"GET {url} HTTP/1.1\r\n\r\n".encode(),
                 )
             )
             r = rng.random()
@@ -232,10 +249,15 @@ def ensure_warc_fixture(sf_name: str, root: str | None = None) -> str:
     if sf_name not in SF_WARC:
         sf_name = "sf0.01"
     out = os.path.join(root, sf_name)
-    marker = os.path.join(out, "_SUCCESS_v1")
+    marker = os.path.join(out, "_SUCCESS_v2")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
+    # a version bump can change the shard count: drop any stale outputs
+    # (and the old marker) so a glob over the dir never sees mixed versions
+    for name in os.listdir(out):
+        if name.endswith(".warc.gz") or name.endswith(".parquet") or name.startswith("_SUCCESS"):
+            os.remove(os.path.join(out, name))
     gen_warc_fixture(out, SF_WARC[sf_name])
     with open(marker, "w") as f:
         f.write("ok")

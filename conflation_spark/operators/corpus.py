@@ -146,3 +146,53 @@ def cluster_safe_split(
     return joined.select(
         "*", cluster.alias("cluster_id"), expr.alias("split")
     ).drop("_lcluster")
+
+
+# URL analysis — shared with the DuckDB twin VERBATIM (both dialects agree
+# on every construct used: regexp_extract with a group index, regexp_replace,
+# length, replace). The reference has no URL layer (its keys are tile/image
+# ids); this is the UT1/C4-style domain-signal step of a web corpus build.
+URL_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
+URL_PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+URL_QUERY_RE = "\\?([^#]*)"
+URL_PORT_RE = ":[0-9]+$"
+URL_TLD_RE = "\\.([a-z0-9-]+)$"
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-URL structural features for crawl curation: ``host``
+    (lowercased, port stripped), ``tld`` (last dot-label — naive by
+    design: multi-label public suffixes like co.uk yield 'uk'; a real
+    PSL pass is a lookup-table join, not parsing), ``path_depth``
+    (non-empty path segments), ``n_params`` (query keys, '&'-counted),
+    ``is_https``, plus ``host_docs`` — the per-host document count that
+    feeds domain-cap / anti-dominance filters (`per_source_cap`).
+
+    Everything except the count is pure codegen string work (zero
+    shuffle, no UDF). The count is a groupBy partial-agg + an equi-join
+    back on host — NOT a window count, which would drag every row of a
+    hot host into one task; the join's skew is AQE-splittable, a
+    single-task window is not.
+    """
+    url = F.lower(F.col(url_col))
+    host = F.regexp_replace(
+        F.regexp_extract(url, URL_HOST_RE, 1), URL_PORT_RE, ""
+    )
+    path = F.regexp_extract(url, URL_PATH_RE, 1)
+    # strip trailing slashes, then depth = number of '/' separators
+    p2 = F.regexp_replace(path, "/+$", "")
+    depth = (F.length(p2) - F.length(F.regexp_replace(p2, "/", ""))).cast("long")
+    query = F.regexp_extract(url, URL_QUERY_RE, 1)
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.length(query) - F.length(F.regexp_replace(query, "&", "")) + 1
+    ).cast("long")
+    feats = df.select(
+        F.col(url_col),
+        host.alias("host"),
+        F.regexp_extract(host, URL_TLD_RE, 1).alias("tld"),
+        depth.alias("path_depth"),
+        n_params.alias("n_params"),
+        url.startswith("https://").cast("long").alias("is_https"),
+    )
+    counts = feats.groupBy("host").agg(F.count(F.lit(1)).alias("host_docs"))
+    return feats.join(counts, "host")

@@ -151,3 +151,32 @@ def test_cluster_safe_split_bad_weights_raise(spark, docs):
 def test_per_source_cap_bad_cap_raises(spark, docs):
     with pytest.raises(ValueError, match="cap must be"):
         per_source_cap(docs, 0)
+
+
+def test_url_features_edge_cases(spark):
+    from conflation_spark.operators.corpus import url_features
+
+    cases = [
+        # (url, host, tld, depth, n_params, https)
+        ("https://www.example.com/a/b/c?x=1&y=2", "www.example.com", "com", 3, 2, 1),
+        ("http://EXAMPLE.org", "example.org", "org", 0, 0, 0),
+        ("http://example.org/", "example.org", "org", 0, 0, 0),
+        ("https://host.io:8080/p", "host.io", "io", 1, 0, 1),
+        ("http://no-tld/path/", "no-tld", "", 1, 0, 0),
+        ("https://a.co.uk/x?only", "a.co.uk", "uk", 1, 1, 1),
+        ("https://q.net/a//b/?k=#frag", "q.net", "uk" if False else "net", 3, 1, 1),
+        ("https://www.example.com/other", "www.example.com", "com", 1, 0, 1),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], "url string")
+    got = {r["url"].lower(): r for r in url_features(df).collect()}
+    host_counts = {}
+    for u, h, *_ in cases:
+        host_counts[h] = host_counts.get(h, 0) + 1
+    for u, h, tld, depth, npar, https in cases:
+        r = got[u.lower()]
+        assert r["host"] == h, u
+        assert r["tld"] == tld, u
+        assert r["path_depth"] == depth, u
+        assert r["n_params"] == npar, u
+        assert r["is_https"] == https, u
+        assert r["host_docs"] == host_counts[h], u
