@@ -348,6 +348,37 @@ def main():
     if not salted_window or not partial_limit:
         failures.append("per_source_cap lost its skew-safe two-phase plan shape")
 
+    # 17) url_features must stay window-free: the per-host doc count is a
+    # partial-agg + join (AQE-splittable under skew), never a window count
+    # that drags a hot domain into one task
+    from conflation_spark.operators.corpus import url_features
+
+    urls17 = spark.createDataFrame(
+        [(f"https://h{i % 7}.example.com/p/{i}",) for i in range(64)], "url string"
+    )
+    p17 = url_features(urls17)._jdf.queryExecution().executedPlan().toString()
+    no_window = "Window" not in p17
+    partial17 = "partial_count" in p17 or ("HashAggregate" in p17 and "Partial" in p17)
+    print(f"[17] url_features: window-free={no_window}, partial agg={partial17}")
+    if not no_window or not partial17:
+        failures.append("url_features host count lost its window-free partial-agg shape")
+
+    # 18) the WARC scan parallelizes by shard: the only exchange feeding the
+    # record-producing MapInPandas is a repartition of the tiny PATH LIST
+    # (one row per shard), never of the decoded records
+    from conflation_spark.datagen_warc import ensure_warc_fixture
+    from conflation_spark.sources.warc import read_warc
+
+    wd18 = ensure_warc_fixture("sf0.001")
+    df18 = read_warc(spark, f"{wd18}/*.warc.gz")
+    p18 = df18._jdf.queryExecution().executedPlan().toString()
+    has_map = "MapInPandas" in p18 or "MapInArrow" in p18
+    # the scan below the exchange must read only `path` (content pruned)
+    content_pruned = "content" not in p18.lower().split("readschema")[-1][:200] if "ReadSchema" in p18 else ("content#" not in p18)
+    print(f"[18] warc scan: kernel stage={has_map}, binaryFile content pruned={content_pruned}")
+    if not has_map or not content_pruned:
+        failures.append("warc scan materializes shard bytes or lost its kernel stage")
+
     if failures:
         print("\nFAILURES:")
         for f in failures:
