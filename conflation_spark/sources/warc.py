@@ -248,24 +248,12 @@ def _strip_scheme(path: str) -> str:
     return path[len("file:") :] if path.startswith("file:") else path
 
 
-def read_warc(
-    spark: SparkSession, path_glob: str, record_types: tuple[str, ...] | None = None
-) -> DataFrame:
-    """Distributed WARC scan: one row per record across every shard
-    matching ``path_glob``.
-
-    The binaryFile source does the (distributed, catalog-free) listing;
-    only ``path`` is selected so its ``content`` column is pruned before
-    the scan materializes anything. The path list repartitions so each
-    shard is its own task, and the kernel streams members with bounded
-    memory. ``record_types`` pushes the type filter into the kernel so
-    skipped records never cross the Arrow boundary (request/metadata
-    records are the bulk of raw crawl shards)."""
-    paths = (
-        spark.read.format("binaryFile")
-        .load(path_glob)
-        .select("path")
-    )
+def _shard_scan_kernel(record_types: tuple[str, ...] | None):
+    """mapInPandas kernel over a (path) column: open each shard, stream
+    its gzip members, emit one row per WARC record. Shared by the batch
+    and streaming scans; the type filter runs here so skipped records
+    never cross the Arrow boundary (request/metadata records are the
+    bulk of raw crawl shards)."""
     wanted = tuple(record_types) if record_types else None
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -305,8 +293,55 @@ def read_warc(
                     ],
                 )
 
+    return scan
+
+
+def read_warc(
+    spark: SparkSession, path_glob: str, record_types: tuple[str, ...] | None = None
+) -> DataFrame:
+    """Distributed WARC scan: one row per record across every shard
+    matching ``path_glob``.
+
+    The binaryFile source does the (distributed, catalog-free) listing;
+    only ``path`` is selected so its ``content`` column is pruned before
+    the scan materializes anything (the count below is likewise a
+    listing-metadata job, never a byte read). The path list repartitions
+    so each shard is its own task, and the kernel streams members with
+    bounded memory."""
+    paths = (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select("path")
+    )
     n_files = paths.count()
-    return paths.repartition(max(n_files, 1)).mapInPandas(scan, schema=WARC_SCHEMA)
+    return paths.repartition(max(n_files, 1)).mapInPandas(
+        _shard_scan_kernel(record_types), schema=WARC_SCHEMA
+    )
+
+
+BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_warc_records(
+    spark: SparkSession, path_glob: str, record_types: tuple[str, ...] | None = None
+) -> DataFrame:
+    """Streaming WARC ingestion: shards LANDING under the glob are
+    discovered per microbatch by the checkpointed file source (each shard
+    processed exactly once — the crawl-drop pattern: a fetcher fleet
+    writes finished .warc.gz shards, this stream curates them as they
+    arrive). Same pruned path listing and bounded-memory member streamer
+    as the batch scan; no repartition (a streaming plan sizes tasks from
+    the microbatch's file split — cap batch width with
+    ``maxFilesPerTrigger`` upstream of heavy kernels)."""
+    paths = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .load(path_glob)
+        .select("path")
+    )
+    return paths.mapInPandas(_shard_scan_kernel(record_types), schema=WARC_SCHEMA)
 
 
 def warc_html_text(records: DataFrame) -> DataFrame:

@@ -168,3 +168,59 @@ def test_read_warc_one_task_per_shard(spark, tmp_path):
     gen_warc_fixture(str(tmp_path), 240)  # 3 shards
     recs = read_warc(spark, str(tmp_path / "*.warc.gz"))
     assert recs.rdd.getNumPartitions() == len(glob.glob(str(tmp_path / "*.warc.gz")))
+
+
+def test_stream_warc_records_parity_and_exactly_once(spark, tmp_path):
+    """Streaming ingestion (sources/warc.stream_warc_records): shards
+    landing in the drop dir are processed exactly once across query
+    restarts (checkpointed file source), and the record set per shard
+    equals the batch scan's."""
+    import shutil
+
+    from conflation_spark.sources.warc import stream_warc_records
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    gen_warc_fixture(stage, 160)  # 2 shards
+    shards = sorted(glob.glob(f"{stage}/*.warc.gz"))
+    assert len(shards) == 2
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    ck = str(tmp_path / "ck")
+
+    out = str(tmp_path / "out")
+
+    def run():
+        # file sink: the one OSS sink that supports checkpoint RECOVERY,
+        # which is the property under test (memory sink refuses restarts)
+        q = (
+            stream_warc_records(spark, f"{drop}/*.warc.gz", record_types=("response",))
+            .selectExpr("src_file", "record_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240), "stream did not terminate"
+        rows = spark.read.parquet(out).collect()
+        pairs = [(r["src_file"], r["record_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs)), "a shard was reprocessed"
+        return set(pairs)
+
+    def batch_ids(path):
+        return {
+            (os.path.basename(path), r["record_id"])
+            for r in read_warc(spark, path, record_types=("response",)).collect()
+        }
+
+    shutil.copy(shards[0], drop)
+    got1 = run()
+    assert got1 == batch_ids(shards[0])
+
+    # second shard lands; the restarted query (same checkpoint) must
+    # process ONLY it — the accumulated sink holds both shards once each
+    shutil.copy(shards[1], drop)
+    got2 = run()
+    assert got2 == batch_ids(shards[0]) | batch_ids(shards[1])
