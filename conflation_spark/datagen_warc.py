@@ -104,8 +104,14 @@ def gen_warc_fixture(out_dir: str, n_pages: int, seed: int = 41) -> None:
     truth = {
         "record_id": [], "url": [], "http_status": [],
         "title": [], "text_md5": [], "n_links": [], "n_words": [],
+        "dup_of": [],
     }
     rid = 0
+    # (record_id, title_words, segs, hrefs) of past HTML pages — the pool
+    # near-dup pages (template reuse, the dominant real-web duplication
+    # mode) are drawn from; ~2% of body words perturbed => word-3-gram
+    # Jaccard ~0.9, the signal minhash near-dup must recover
+    past_pages: list[tuple] = []
 
     def _rid() -> str:
         nonlocal rid
@@ -171,6 +177,40 @@ def gen_warc_fixture(out_dir: str, n_pages: int, seed: int = 41) -> None:
                         block=http_response_block(b'{"k": 1}', 200, "application/json"),
                     )
                 )
+            elif len(past_pages) > 10 and rng.random() < 0.12:
+                # near-dup page: reuse an earlier page's content with ~2%
+                # of visible words replaced (template-drift duplication)
+                src_id, s_title, s_segs, s_hrefs = past_pages[
+                    int(rng.integers(0, len(past_pages)))
+                ]
+                segs, body_words = [], []
+                for kind, words in s_segs:
+                    w2 = list(words)
+                    if kind not in ("script", "comment", "noscript"):
+                        for _ in range(max(1, len(w2) // 50)):
+                            if rng.random() < 0.5:
+                                w2[int(rng.integers(0, len(w2)))] = VOCAB[
+                                    int(rng.integers(0, len(VOCAB)))
+                                ]
+                        body_words.extend(w2)
+                    segs.append((kind, w2))
+                html = _render_page(rng, s_title, segs, s_hrefs, False)
+                records.append(
+                    dict(
+                        warc_type="response", record_id=resp_id, target_uri=url,
+                        warc_date=date,
+                        block=http_response_block(html.encode("utf-8")),
+                    )
+                )
+                truth["record_id"].append(resp_id)
+                truth["url"].append(url)
+                truth["http_status"].append(200)
+                truth["title"].append(" ".join(s_title))
+                body = " ".join(body_words)
+                truth["text_md5"].append(hashlib.md5(body.encode("utf-8")).hexdigest())
+                truth["n_links"].append(len(s_hrefs))
+                truth["n_words"].append(len(body_words))
+                truth["dup_of"].append(src_id)
             else:
                 title_words = _words(rng, 2, 6)
                 n_seg = int(rng.integers(2, 8))
@@ -214,6 +254,8 @@ def gen_warc_fixture(out_dir: str, n_pages: int, seed: int = 41) -> None:
                 truth["text_md5"].append(hashlib.md5(body.encode("utf-8")).hexdigest())
                 truth["n_links"].append(len(hrefs))
                 truth["n_words"].append(len(body_words))
+                truth["dup_of"].append("")
+                past_pages.append((resp_id, title_words, segs, hrefs))
             if rng.random() < 0.1:
                 records.append(
                     dict(
@@ -237,6 +279,7 @@ def gen_warc_fixture(out_dir: str, n_pages: int, seed: int = 41) -> None:
             "text_md5": pa.array(truth["text_md5"], pa.string()),
             "n_links": pa.array(truth["n_links"], pa.int32()),
             "n_words": pa.array(truth["n_words"], pa.int64()),
+            "dup_of": pa.array(truth["dup_of"], pa.string()),
         }
     )
     pq.write_table(tbl, os.path.join(out_dir, "warc_truth.parquet"), row_group_size=512)
@@ -249,7 +292,7 @@ def ensure_warc_fixture(sf_name: str, root: str | None = None) -> str:
     if sf_name not in SF_WARC:
         sf_name = "sf0.01"
     out = os.path.join(root, sf_name)
-    marker = os.path.join(out, "_SUCCESS_v2")
+    marker = os.path.join(out, "_SUCCESS_v3")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
