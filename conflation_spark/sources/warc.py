@@ -211,12 +211,42 @@ def _parse_http_response(block: bytes) -> tuple[int, str, bytes]:
     return status, ctype, body
 
 
+class _RawStream:
+    """The _GzStream read interface over already-decompressed bytes —
+    lets the record parser run on a single extracted gzip member."""
+
+    def __init__(self, data: bytes) -> None:
+        self._buf = bytearray(data)
+
+    def read_exact(self, n: int) -> bytes:
+        if len(self._buf) < n:
+            raise ValueError(f"EOF inside a record: wanted {n}, had {len(self._buf)}")
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        return out
+
+    def read_line(self) -> bytes | None:
+        if not self._buf:
+            return None
+        i = self._buf.find(b"\n")
+        if i < 0:
+            line = bytes(self._buf)
+            self._buf.clear()
+        else:
+            line = bytes(self._buf[:i])
+            del self._buf[: i + 1]
+        return line.rstrip(b"\r")
+
+
 def iter_warc_records(fileobj) -> Iterator[dict]:
     """Stream records out of an open .warc.gz file object. Yields dicts:
     warc_type / record_id / target_uri / warc_date / http_status /
     http_content_type / payload. For ``response`` records the payload is
     the HTTP BODY; for every other type it is the raw block."""
-    stream = _GzStream(fileobj)
+    yield from _iter_records(_GzStream(fileobj))
+
+
+def _iter_records(stream) -> Iterator[dict]:
     while True:
         headers = _parse_headers(stream)
         if headers is None:
@@ -379,3 +409,101 @@ def warc_html_text(records: DataFrame) -> DataFrame:
         & F.col("http_content_type").startswith("text/html")
     ).select("record_id", "target_uri", "http_status", "payload")
     return html.mapInPandas(op, schema=WARC_TEXT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# CDX-style random access (member offsets)
+
+
+def iter_warc_members(fileobj) -> Iterator[tuple[int, int, bytes]]:
+    """Walk the gzip MEMBERS of a .warc.gz: yields (compressed_offset,
+    compressed_length, decompressed_bytes) per member. This is the
+    byte-offset layer CDX indexes are built on — with the Common Crawl
+    member-per-record convention, (offset, length) addresses one record
+    for later random access without rescanning the shard."""
+    offset = 0
+    carry = b""  # compressed bytes read past the previous member's end
+    z = zlib.decompressobj(wbits=31)
+    out = bytearray()
+    consumed_into_member = 0
+    while True:
+        chunk = carry if carry else fileobj.read(_READ_CHUNK)
+        carry = b""
+        if not chunk:
+            if out or consumed_into_member:
+                raise ValueError("truncated gzip member")
+            return
+        out += z.decompress(chunk)
+        if z.eof:
+            tail = z.unused_data
+            member_len = consumed_into_member + (len(chunk) - len(tail))
+            yield offset, member_len, bytes(out)
+            offset += member_len
+            consumed_into_member = 0
+            out = bytearray()
+            z = zlib.decompressobj(wbits=31)
+            carry = tail
+        else:
+            consumed_into_member += len(chunk)
+
+
+def fetch_warc_record(path: str, offset: int, length: int) -> dict:
+    """Random access: read ONE record by its CDX (offset, length) without
+    touching the rest of the shard. Requires the member-per-record layout
+    (the CC convention — ``warc_cdx`` only indexes such members)."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        comp = f.read(length)
+    raw = zlib.decompress(comp, wbits=31)
+    recs = list(_iter_records(_RawStream(raw)))
+    if len(recs) != 1:
+        raise ValueError(f"member at {offset} holds {len(recs)} records, not 1")
+    return recs[0]
+
+
+CDX_SCHEMA = (
+    "src_file string, offset long, clen long, rec_in_member int, "
+    "warc_type string, record_id string, target_uri string"
+)
+
+
+def warc_cdx(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed CDX-style index build: one row per WARC record with
+    the (offset, clen) of its gzip member — the artifact that makes a
+    shard randomly addressable (``fetch_warc_record``) without a rescan.
+    Same pruned path listing / task-per-shard plan as ``read_warc``;
+    payload bytes never cross the Arrow boundary, only header fields.
+    ``rec_in_member`` is 0 under the CC member-per-record convention;
+    whole-file-member shards index with increasing values (random access
+    then needs the full member — fetch_warc_record refuses those)."""
+    paths = spark.read.format("binaryFile").load(path_glob).select("path")
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p in pdf["path"]:
+                local = _strip_scheme(str(p))
+                rows = []
+                with open(local, "rb") as f:
+                    for off, clen, raw in iter_warc_members(f):
+                        for j, rec in enumerate(_iter_records(_RawStream(raw))):
+                            rows.append(
+                                (
+                                    os.path.basename(local),
+                                    off,
+                                    clen,
+                                    j,
+                                    rec["warc_type"],
+                                    rec["record_id"],
+                                    rec["target_uri"],
+                                )
+                            )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "src_file", "offset", "clen", "rec_in_member",
+                        "warc_type", "record_id", "target_uri",
+                    ],
+                )
+
+    n_files = paths.count()
+    return paths.repartition(max(n_files, 1)).mapInPandas(kern, schema=CDX_SCHEMA)

@@ -224,3 +224,46 @@ def test_stream_warc_records_parity_and_exactly_once(spark, tmp_path):
     shutil.copy(shards[1], drop)
     got2 = run()
     assert got2 == batch_ids(shards[0]) | batch_ids(shards[1])
+
+
+def test_iter_warc_members_tile_and_fetch(tmp_path):
+    """Member offsets tile the shard exactly; random access by (offset,
+    clen) reproduces every streamed record."""
+    from conflation_spark.sources.warc import fetch_warc_record, iter_warc_members
+
+    p = str(tmp_path / "t.warc.gz")
+    write_warc_gz(p, _mk_records())
+    members = list(iter_warc_members(open(p, "rb")))
+    assert members[0][0] == 0
+    for (o1, l1, _), (o2, _, _) in zip(members, members[1:]):
+        assert o1 + l1 == o2
+    assert members[-1][0] + members[-1][1] == os.path.getsize(p)
+    streamed = list(iter_warc_records(open(p, "rb")))
+    assert len(members) == len(streamed)
+    for (off, ln, _), want in zip(members, streamed):
+        assert fetch_warc_record(p, off, ln) == want
+
+
+def test_warc_cdx_spark_index_and_random_access(spark, tmp_path):
+    """The distributed CDX build indexes every record with a fetchable
+    (offset, clen); a sample of fetches reproduces payload truth."""
+    import pyarrow.parquet as pq
+
+    from conflation_spark.sources.warc import fetch_warc_record, warc_cdx
+
+    gen_warc_fixture(str(tmp_path), 160)
+    cdx = warc_cdx(spark, str(tmp_path / "*.warc.gz")).collect()
+    recs = read_warc(spark, str(tmp_path / "*.warc.gz")).collect()
+    assert len(cdx) == len(recs)
+    assert all(r["rec_in_member"] == 0 for r in cdx)  # CC layout
+    truth = pq.read_table(str(tmp_path / "warc_truth.parquet")).to_pydict()
+    tset = dict(zip(truth["record_id"], truth["url"]))
+    rows = [r for r in cdx if r["record_id"] in tset][:25]
+    assert rows
+    for r in rows:
+        rec = fetch_warc_record(
+            str(tmp_path / r["src_file"]), r["offset"], r["clen"]
+        )
+        assert rec["record_id"] == r["record_id"]
+        assert rec["target_uri"] == tset[r["record_id"]]
+        assert rec["http_status"] == 200
