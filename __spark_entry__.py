@@ -282,6 +282,12 @@ def _warc_dir(sf_dir: str) -> str:
     return ensure_warc_fixture(_sf_name(sf_dir))
 
 
+def _h264_dir(sf_dir: str) -> str:
+    from conflation_spark.datagen_text import ensure_h264_fixture
+
+    return ensure_h264_fixture(_sf_name(sf_dir))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.dedup import exact_dup_groups
 
@@ -862,6 +868,23 @@ def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = spark.read.parquet(f"{_text_dir(sf_dir)}/video_blobs.parquet")
     return extract_video_frames(blobs, every_n=2, max_frames=3)
+
+
+def _q_h264_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video decode in the mapInPandas kernel: genuine
+    Annex-B H.264 baseline I-frame streams (functions/h264.py — NAL
+    parse, CAVLC entropy decode, Intra_16x16 reconstruction, cropping,
+    interleaved I_PCM), sampling frames 0/2/4 and emitting quantized
+    Y/U/V plane means. The fixture's truth columns come from the
+    encoder's reconstruction loop, which is bit-exact with a correct
+    decode (integer transforms; shared reconstruction helpers), so this
+    is EXACT-hash gated like GIF even though the codec is lossy vs the
+    source — the entropy layer is what the gate proves (one mis-parsed
+    bit desyncs the rest of the slice)."""
+    from conflation_spark.operators.multimodal import extract_compressed_video_frames
+
+    blobs = spark.read.parquet(f"{_h264_dir(sf_dir)}/h264_blobs.parquet")
+    return extract_compressed_video_frames(blobs, every_n=2, max_frames=3)
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1480,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_features": _q_gif_features,
         "warc_text": _q_warc_text,
         "url_stats": _q_url_stats,
+        "h264_frames": _q_h264_frames,
     }
 
 
@@ -1589,6 +1613,7 @@ def oracle_sql() -> dict[str, str]:
     td = _text_dir("/root/testdata/sf0.01")
     gd = _gif_dir("/root/testdata/sf0.01")
     wd = _warc_dir("/root/testdata/sf0.01")
+    hd = _h264_dir("/root/testdata/sf0.01")
     from conflation_spark.operators.corpus import (
         URL_HOST_RE as _URL_HOST_RE,
         URL_PATH_RE as _URL_PATH_RE,
@@ -2091,6 +2116,15 @@ SELECT media_ref, true_sample_rate AS sample_rate,
 FROM read_parquet('{td}/audio_blobs.parquet')
 """,
         # video: planted per-sampled-frame luma truth (frames 0/2/4)
+        "h264_frames": f"""
+WITH b AS (SELECT * FROM read_parquet('{hd}/h264_blobs.parquet'))
+SELECT media_ref, CAST(0 AS INT) AS frame_idx, true_width AS width,
+       true_height AS height, m0 AS y_mean_c, u0 AS u_mean_c, v0 AS v_mean_c FROM b
+UNION ALL
+SELECT media_ref, CAST(2 AS INT), true_width, true_height, m1, u1, v1 FROM b
+UNION ALL
+SELECT media_ref, CAST(4 AS INT), true_width, true_height, m2, u2, v2 FROM b
+""",
         "video_frames": f"""
 WITH b AS (SELECT * FROM read_parquet('{td}/video_blobs.parquet'))
 SELECT media_ref, CAST(0 AS INT) AS frame_idx, true_width AS width,

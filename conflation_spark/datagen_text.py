@@ -487,6 +487,89 @@ def ensure_gif_fixture(sf_name: str, root: str | None = None) -> str:
     return out
 
 
+SF_H264 = {"sf0.001": 24, "sf0.01": 100, "sf0.1": 400, "sf1": 1200}
+
+
+def gen_h264_blobs(out_dir: str, n: int, seed: int = 47) -> None:
+    """Real COMPRESSED video blobs + planted truth — genuine Annex-B
+    H.264 baseline I-frame streams (`functions/h264.py`: CAVLC,
+    Intra_16x16 V/H/DC/Plane prediction, cropping; ~1/4 of blobs
+    interleave I_PCM macroblocks). Truth = width / height / n_frames
+    plus quantized Y/U/V plane means of the sampled frames 0/2/4 taken
+    from the ENCODER'S RECONSTRUCTION loop, which is bit-exact with a
+    correct decode of the bitstream (H.264 inverse transforms are
+    integer-exact and the encoder reconstructs through the decoder's
+    own helpers) — so the `h264_frames` oracle gates the decoder
+    EXACTLY, GIF-style, despite the codec being lossy vs the source.
+    The non-circular quality bound vs SOURCE pixels lives in
+    tests/test_h264.py. QP varies 20..32; dims include
+    non-multiple-of-16 (cropped) layouts."""
+    from conflation_spark.functions.h264 import encode_h264_with_recon
+    from conflation_spark.functions.y4m import frame_luma_mean, quantize
+
+    rng = np.random.default_rng(seed)
+    refs, blobs, ws, hs, nfs = [], [], [], [], []
+    means = np.zeros((n, 9), dtype=np.int64)  # y0..2, u0..2, v0..2
+    for i in range(n):
+        h = int(rng.integers(8, 33)) * 2
+        w = int(rng.integers(8, 33)) * 2
+        nf = int(rng.integers(5, 9))
+        qp = int(rng.choice([20, 24, 28, 32]))
+        pcm = 5 if rng.random() < 0.25 else 0
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (yy * 255 // max(h - 1, 1) + xx * 255 // max(w - 1, 1)) // 2
+        frames = np.stack(
+            [
+                np.clip(base + rng.integers(-30, 31, (h, w)) + t * 10, 0, 255)
+                for t in range(nf)
+            ]
+        ).astype(np.uint8)
+        bs, ry, ru, rv = encode_h264_with_recon(frames, qp=qp, pcm_every=pcm)
+        refs.append(f"avc{i:06d}")
+        blobs.append(bs)
+        ws.append(w)
+        hs.append(h)
+        nfs.append(nf)
+        for j, fi in enumerate((0, 2, 4)):
+            means[i, j] = quantize(frame_luma_mean(ry[fi]))
+            means[i, 3 + j] = quantize(frame_luma_mean(ru[fi]))
+            means[i, 6 + j] = quantize(frame_luma_mean(rv[fi]))
+    cols = {
+        "media_ref": pa.array(refs, pa.string()),
+        "media_kind": pa.array(["video"] * n, pa.string()),
+        "content": pa.array(blobs, pa.binary()),
+        "true_width": pa.array(ws, pa.int32()),
+        "true_height": pa.array(hs, pa.int32()),
+        "true_n_frames": pa.array(nfs, pa.int32()),
+    }
+    for j, name in enumerate(
+        ["m0", "m1", "m2", "u0", "u1", "u2", "v0", "v1", "v2"]
+    ):
+        cols[name] = pa.array(means[:, j].tolist(), pa.int64())
+    pq.write_table(
+        pa.table(cols), os.path.join(out_dir, "h264_blobs.parquet"), row_group_size=64
+    )
+
+
+def ensure_h264_fixture(sf_name: str, root: str | None = None) -> str:
+    """H.264 blobs live in their own fixture dir with their own marker
+    (same isolation rationale as the GIF fixture)."""
+    root = root or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "h264"
+    )
+    if sf_name not in SF_H264:
+        sf_name = "sf0.01"
+    out = os.path.join(root, sf_name)
+    marker = os.path.join(out, "_SUCCESS_v1")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    gen_h264_blobs(out, SF_H264[sf_name])
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
 def ensure_text_fixture(sf_name: str, root: str | None = None) -> str:
     root = root or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "text"

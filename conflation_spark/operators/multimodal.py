@@ -10,10 +10,12 @@ all five unfilters, ``functions/png.py``), baseline+progressive JPEG
 (T.81 Huffman/dequant/IDCT, ``functions/jpeg.py``) and GIF (LZW +
 color tables + interlace, ``functions/gif.py``); 16-bit PCM WAV audio
 (RIFF/fmt/data parsing, ``functions/wav.py``); uncompressed Y4M video
-(stream header + FRAME markers + 4:2:0 planes, ``functions/y4m.py``) —
-no PIL/libsndfile/ffmpeg dependency anywhere. Formats with no decoder
-in this environment (H.264, hierarchical JPEG) go through the
-injectable ``decoder`` seams, and ``sample_frames`` keeps a
+(stream header + FRAME markers + 4:2:0 planes, ``functions/y4m.py``)
+AND compressed H.264 baseline I-frame video (Annex-B NAL + CAVLC +
+intra reconstruction, ``functions/h264.py``) — no PIL/libsndfile/
+ffmpeg dependency anywhere. The rare formats with no decoder in this
+environment (hierarchical JPEG, CABAC/inter H.264 profiles) go through
+the injectable ``decoder`` seams, and ``sample_frames`` keeps a
 deterministic digest sampler for opaque containers.
 """
 
@@ -228,6 +230,73 @@ def extract_video_frames(
 
     vids = blobs.where(F.col("media_kind") == "video").select("media_ref", "content")
     return vids.mapInPandas(op, schema=VIDEO_FRAME_SCHEMA)
+
+
+H264_FRAME_SCHEMA = (
+    "media_ref string, frame_idx int, width int, height int, "
+    "y_mean_c long, u_mean_c long, v_mean_c long"
+)
+
+
+def decode_h264_frame_stats(content: bytes, every_n: int = 2, max_frames: int = 3):
+    """Real COMPRESSED video decode: Annex-B H.264 baseline I-frame
+    streams (`functions/h264.py` — NAL/SPS/PPS parse, CAVLC entropy
+    decode, intra reconstruction, cropping). Yields (frame_idx, width,
+    height, quantized Y/U/V plane means) for frames 0, every_n, ... —
+    the sampled-frame stats a dedup/quality pass runs on. Raises
+    ValueError on corrupt streams or unsupported profiles (CABAC,
+    P/B slices); those route to the injectable ``decoder`` seam of
+    ``extract_compressed_video_frames``."""
+    from conflation_spark.functions.h264 import decode_h264
+    from conflation_spark.functions.y4m import frame_luma_mean, quantize
+
+    y, u, v, w, h = decode_h264(content)
+    out = []
+    for j in range(max_frames):
+        fi = j * every_n
+        if fi >= y.shape[0]:
+            break
+        out.append(
+            (
+                fi,
+                w,
+                h,
+                quantize(frame_luma_mean(y[fi])),
+                quantize(frame_luma_mean(u[fi])),
+                quantize(frame_luma_mean(v[fi])),
+            )
+        )
+    return out
+
+
+def extract_compressed_video_frames(
+    blobs: DataFrame, every_n: int = 2, max_frames: int = 3, decoder=None
+) -> DataFrame:
+    """mapInPandas over compressed video blobs -> one row per sampled
+    frame with Y/U/V plane stats — the H.264 twin of
+    ``extract_video_frames`` (which handles uncompressed Y4M); the
+    ``decoder`` parameter stays the seam for codecs with no decoder in
+    this environment."""
+    decode = decoder or (
+        lambda content: decode_h264_frame_stats(content, every_n, max_frames)
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                for fi, w, h, ym, um, vm in decode(bytes(content)):
+                    rows.append((ref, fi, w, h, ym, um, vm))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "frame_idx", "width", "height",
+                    "y_mean_c", "u_mean_c", "v_mean_c",
+                ],
+            )
+
+    vids = blobs.where(F.col("media_kind") == "video").select("media_ref", "content")
+    return vids.mapInPandas(op, schema=H264_FRAME_SCHEMA)
 
 
 def sample_frames(blobs: DataFrame, every_n: int = 2, n_frames: int = 3) -> DataFrame:

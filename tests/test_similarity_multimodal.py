@@ -247,6 +247,41 @@ def test_video_decode_raises_on_garbage():
         multimodal.decode_video_frames(b"not a y4m stream")
 
 
+def test_h264_frames_real_decode_matches_planted_truth(spark):
+    """The COMPRESSED video path: fixture Annex-B H.264 streams decoded
+    in the kernel (CAVLC + intra reconstruction); sampled-frame dims and
+    quantized Y/U/V means equal the truth planted from the encoder's
+    reconstruction loop — bit-exact with a correct decode — for EVERY
+    blob."""
+    from conflation_spark.datagen_text import ensure_h264_fixture
+
+    d = ensure_h264_fixture("sf0.001")
+    blobs = spark.read.parquet(f"{d}/h264_blobs.parquet")
+    got = multimodal.extract_compressed_video_frames(blobs, every_n=2, max_frames=3)
+    joined = got.join(blobs, "media_ref")
+    n = blobs.count()
+    assert joined.count() == 3 * n  # every blob has >= 5 frames
+    def pick(a, b, c):
+        return (
+            F.when(F.col("frame_idx") == 0, F.col(a))
+            .when(F.col("frame_idx") == 2, F.col(b))
+            .otherwise(F.col(c))
+        )
+    ok = joined.where(
+        (F.col("width") == F.col("true_width"))
+        & (F.col("height") == F.col("true_height"))
+        & (F.col("y_mean_c") == pick("m0", "m1", "m2"))
+        & (F.col("u_mean_c") == pick("u0", "u1", "u2"))
+        & (F.col("v_mean_c") == pick("v0", "v1", "v2"))
+    )
+    assert ok.count() == 3 * n
+
+
+def test_h264_decode_raises_on_garbage():
+    with pytest.raises(ValueError):
+        multimodal.decode_h264_frame_stats(b"not an avc stream")
+
+
 def _pq_local(rows, query_ids, m_sub, n_cents, k):
     """Exact Python ADC oracle: shared-kernel codebooks, argmin encoding,
     integerized LUT gather-sum — mirrors pq_topk's documented math."""
