@@ -547,7 +547,7 @@ def gen_h264_blobs(out_dir: str, n: int, seed: int = 47) -> None:
     ):
         cols[name] = pa.array(means[:, j].tolist(), pa.int64())
     pq.write_table(
-        pa.table(cols), os.path.join(out_dir, "h264_blobs.parquet"), row_group_size=64
+        pa.table(cols), os.path.join(out_dir, "h264_blobs.parquet"), row_group_size=8
     )
 
 
@@ -560,7 +560,7 @@ def ensure_h264_fixture(sf_name: str, root: str | None = None) -> str:
     if sf_name not in SF_H264:
         sf_name = "sf0.01"
     out = os.path.join(root, sf_name)
-    marker = os.path.join(out, "_SUCCESS_v1")
+    marker = os.path.join(out, "_SUCCESS_v2")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)

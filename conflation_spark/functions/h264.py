@@ -580,19 +580,35 @@ def _fwd4(x: np.ndarray) -> np.ndarray:
     return _CF @ x.astype(np.int64) @ _CF.T
 
 
-def _itx4(d: np.ndarray) -> np.ndarray:
-    a = d.astype(np.int64)
-    e0 = a[:, 0] + a[:, 2]
-    e1 = a[:, 0] - a[:, 2]
-    e2 = (a[:, 1] >> 1) - a[:, 3]
-    e3 = a[:, 1] + (a[:, 3] >> 1)
-    f = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=1)
-    g0 = f[0] + f[2]
-    g1 = f[0] - f[2]
-    g2 = (f[1] >> 1) - f[3]
-    g3 = f[1] + (f[3] >> 1)
-    h = np.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=0)
+def _itx4_batch(d: np.ndarray) -> np.ndarray:
+    """Inverse 4x4 core transform over a BATCH of blocks (n, 4, 4) —
+    one MB's 16 luma (or 4 chroma) blocks in a single set of numpy ops;
+    the per-block version cost 2 np.stack calls per 16 pixels, which
+    dominated the decode profile."""
+    a = d
+    e0 = a[..., 0] + a[..., 2]
+    e1 = a[..., 0] - a[..., 2]
+    e2 = (a[..., 1] >> 1) - a[..., 3]
+    e3 = a[..., 1] + (a[..., 3] >> 1)
+    f = np.empty_like(a)
+    f[..., 0] = e0 + e3
+    f[..., 1] = e1 + e2
+    f[..., 2] = e1 - e2
+    f[..., 3] = e0 - e3
+    g0 = f[:, 0, :] + f[:, 2, :]
+    g1 = f[:, 0, :] - f[:, 2, :]
+    g2 = (f[:, 1, :] >> 1) - f[:, 3, :]
+    g3 = f[:, 1, :] + (f[:, 3, :] >> 1)
+    h = np.empty_like(a)
+    h[:, 0, :] = g0 + g3
+    h[:, 1, :] = g1 + g2
+    h[:, 2, :] = g1 - g2
+    h[:, 3, :] = g0 - g3
     return (h + 32) >> 6
+
+
+def _itx4(d: np.ndarray) -> np.ndarray:
+    return _itx4_batch(d.astype(np.int64)[None])[0]
 
 
 def _quant4(w: np.ndarray, qp: int, intra_f: int) -> np.ndarray:
@@ -635,19 +651,28 @@ def _mat_to_zz(m: np.ndarray) -> list[int]:
 _BLK_XY = [(2 * ((i >> 2) & 1) + (i & 1), 2 * ((i >> 3) & 1) + ((i >> 1) & 1)) for i in range(16)]
 
 
+_ZZ_FLAT = np.array([r * 4 + c for r, c in _ZIGZAG4])
+
+
 def _recon_luma_i16(
     pred: np.ndarray, dc_levels: list[int], ac: list[list[int]], qp: int
 ) -> np.ndarray:
     """Shared encoder/decoder reconstruction of one Intra_16x16 luma MB:
     dc_levels = 16 zigzag DC coefficients, ac = 16 lists of 15 zigzag AC
-    coefficients (block order = luma4x4BlkIdx)."""
+    coefficients (block order = luma4x4BlkIdx). All 16 blocks dequantize
+    and inverse-transform as one batched numpy op."""
     dc = _luma_dc_dequant(_zz_to_mat(dc_levels), qp)
+    zz = np.zeros((16, 16), dtype=np.int64)
+    zz[:, 1:] = np.asarray(ac, dtype=np.int64)
+    blocks = np.zeros((16, 16), dtype=np.int64)
+    blocks[:, _ZZ_FLAT] = zz  # zigzag -> raster scatter, all blocks at once
+    d = (blocks.reshape(16, 4, 4) * _V4[qp % 6]) << (qp // 6)
+    for idx, (bx, by) in enumerate(_BLK_XY):
+        d[idx, 0, 0] = dc[by, bx]
+    r = _itx4_batch(d)
     out = pred.astype(np.int64).copy()
-    for idx in range(16):
-        bx, by = _BLK_XY[idx]
-        d = _dequant_ac(_zz_to_mat([0] + ac[idx]), qp)
-        d[0, 0] = dc[by, bx]
-        out[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4] += _itx4(d)
+    for idx, (bx, by) in enumerate(_BLK_XY):
+        out[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4] += r[idx]
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
@@ -660,12 +685,18 @@ def _recon_chroma(
     for k, (r, cc) in enumerate(_CDC_SCAN):
         c2[r, cc] = dc_levels[k]
     dc = _chroma_dc_dequant(c2, qpc)
+    zz = np.zeros((4, 16), dtype=np.int64)
+    zz[:, 1:] = np.asarray(ac, dtype=np.int64)
+    blocks = np.zeros((4, 16), dtype=np.int64)
+    blocks[:, _ZZ_FLAT] = zz
+    d = (blocks.reshape(4, 4, 4) * _V4[qpc % 6]) << (qpc // 6)
+    for idx in range(4):
+        d[idx, 0, 0] = dc[idx >> 1, idx & 1]
+    r = _itx4_batch(d)
     out = pred.astype(np.int64).copy()
     for idx in range(4):
         bx, by = idx & 1, idx >> 1
-        d = _dequant_ac(_zz_to_mat([0] + ac[idx]), qpc)
-        d[0, 0] = dc[by, bx]
-        out[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4] += _itx4(d)
+        out[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4] += r[idx]
     return np.clip(out, 0, 255).astype(np.uint8)
 
 

@@ -296,7 +296,17 @@ def extract_compressed_video_frames(
             )
 
     vids = blobs.where(F.col("media_kind") == "video").select("media_ref", "content")
-    return vids.mapInPandas(op, schema=H264_FRAME_SCHEMA)
+    # entropy decode is CPU-bound at ~100x the scan cost per byte, and
+    # compressed blobs are small: a whole shard of streams can land under
+    # one maxPartitionBytes split (the single-task trap). Hash-spread the
+    # blobs first — the shuffle moves only the (tiny) coded bytes and buys
+    # full-core decode parallelism at any scale. The partition count must
+    # be EXPLICIT: with repartition(col) alone AQE sees a few-MB shuffle
+    # and coalesces the decode stage back into one task.
+    n_dec = 2 * vids.sparkSession.sparkContext.defaultParallelism
+    return vids.repartition(n_dec, F.col("media_ref")).mapInPandas(
+        op, schema=H264_FRAME_SCHEMA
+    )
 
 
 def sample_frames(blobs: DataFrame, every_n: int = 2, n_frames: int = 3) -> DataFrame:
