@@ -379,6 +379,28 @@ def main():
     if not has_map or not content_pruned:
         failures.append("warc scan materializes shard bytes or lost its kernel stage")
 
+    # 19) the H.264 decode stage keeps its EXPLICIT-count hash spread: a
+    # tiny blob file fits one scan split, and without the explicit count
+    # AQE coalesces the few-MB shuffle back into one decode task (both
+    # failure modes measured; BENCH_NOTES r5 new-operator costs)
+    from conflation_spark.datagen_text import ensure_h264_fixture
+    from conflation_spark.operators.multimodal import extract_compressed_video_frames
+
+    hd19 = ensure_h264_fixture("sf0.001")
+    blobs19 = spark.read.parquet(f"{hd19}/h264_blobs.parquet")
+    df19 = extract_compressed_video_frames(blobs19)
+    p19 = df19._jdf.queryExecution().executedPlan().toString()
+    has_kernel = "MapInPandas" in p19
+    has_spread = "hashpartitioning(media_ref" in p19
+    # explicit numPartitions shows in the exchange as REPARTITION_BY_NUM
+    explicit_n = "REPARTITION_BY_NUM" in p19
+    print(
+        f"[19] h264 decode: kernel stage={has_kernel}, hash spread={has_spread}, "
+        f"explicit count (AQE-proof)={explicit_n}"
+    )
+    if not has_kernel or not has_spread or not explicit_n:
+        failures.append("h264 decode stage lost its explicit-count hash spread")
+
     if failures:
         print("\nFAILURES:")
         for f in failures:
