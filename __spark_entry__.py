@@ -870,6 +870,21 @@ def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_video_frames(blobs, every_n=2, max_frames=3)
 
 
+def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail generation over real compressed images — the resize
+    verb of the multimodal set (multimodal.resize_images): decode GIF in
+    the kernel, exact integer area-mean downsample
+    (kernels.area_resize), emit resized-raster md5 + dims. GIF is
+    lossless for indexed content and the resize is bit-deterministic
+    integer math, so the fixture's truth (resized SOURCE pixels) gates
+    the whole decode->resize chain exact-hash."""
+    from conflation_spark.functions.gif import decode_gif
+    from conflation_spark.operators.multimodal import resize_images
+
+    blobs = spark.read.parquet(f"{_gif_dir(sf_dir)}/gif_blobs.parquet")
+    return resize_images(blobs, decoder=decode_gif)
+
+
 def _q_h264_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-video decode in the mapInPandas kernel: genuine
     Annex-B H.264 baseline I-frame streams (functions/h264.py — NAL
@@ -1504,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_text": _q_warc_text,
         "url_stats": _q_url_stats,
         "h264_frames": _q_h264_frames,
+        "image_resize": _q_image_resize,
     }
 
 
@@ -2116,6 +2132,11 @@ SELECT media_ref, true_sample_rate AS sample_rate,
 FROM read_parquet('{td}/audio_blobs.parquet')
 """,
         # video: planted per-sampled-frame luma truth (frames 0/2/4)
+        "image_resize": f"""
+SELECT media_ref, true_width AS src_width, true_height AS src_height,
+       rs_w AS width, rs_h AS height, rs_md5 AS px_md5
+FROM read_parquet('{gd}/gif_blobs.parquet')
+""",
         "h264_frames": f"""
 WITH b AS (SELECT * FROM read_parquet('{hd}/h264_blobs.parquet'))
 SELECT media_ref, CAST(0 AS INT) AS frame_idx, true_width AS width,

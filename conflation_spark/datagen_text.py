@@ -428,10 +428,14 @@ def gen_gif_blobs(out_dir: str, n: int, seed: int = 43) -> None:
     — the exact pixels a correct decode returns, GIF being lossless for
     indexed content. Same exact-hash oracle design as PNG."""
     from conflation_spark.functions.gif import encode_gif
+    from conflation_spark.functions.kernels import area_resize
     from conflation_spark.functions.png import image_feature_grid, quantize_feature
+    from conflation_spark.operators.multimodal import RESIZE_MAX_SIDE
+    import hashlib
 
     rng = np.random.default_rng(seed)
     refs, blobs, widths, heights = [], [], [], []
+    rs_ws, rs_hs, rs_md5s = [], [], []
     feats = np.zeros((n, 16), dtype=np.int64)
     for i in range(n):
         h = int(rng.integers(8, 73))
@@ -453,13 +457,23 @@ def gen_gif_blobs(out_dir: str, n: int, seed: int = 43) -> None:
         )
         widths.append(w)
         heights.append(h)
-        feats[i] = quantize_feature(image_feature_grid(pal[idx]))
+        px = pal[idx]
+        feats[i] = quantize_feature(image_feature_grid(px))
+        # resize truth from SOURCE pixels (GIF is lossless for indexed
+        # content, so a correct decode+resize reproduces this exactly)
+        rs = area_resize(px, RESIZE_MAX_SIDE)
+        rs_ws.append(rs.shape[1])
+        rs_hs.append(rs.shape[0])
+        rs_md5s.append(hashlib.md5(rs.tobytes()).hexdigest())
     cols = {
         "media_ref": pa.array(refs, pa.string()),
         "media_kind": pa.array(["image"] * n, pa.string()),
         "content": pa.array(blobs, pa.binary()),
         "true_width": pa.array(widths, pa.int32()),
         "true_height": pa.array(heights, pa.int32()),
+        "rs_w": pa.array(rs_ws, pa.int32()),
+        "rs_h": pa.array(rs_hs, pa.int32()),
+        "rs_md5": pa.array(rs_md5s, pa.string()),
     }
     for j in range(16):
         cols[f"f{j}"] = pa.array(feats[:, j].tolist(), pa.int64())
@@ -477,7 +491,7 @@ def ensure_gif_fixture(sf_name: str, root: str | None = None) -> str:
     if sf_name not in SF_GIF:
         sf_name = "sf0.01"
     out = os.path.join(root, sf_name)
-    marker = os.path.join(out, "_SUCCESS_v1")
+    marker = os.path.join(out, "_SUCCESS_v2")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)

@@ -124,3 +124,32 @@ def kmeans_lloyd(x: np.ndarray, n_lists: int, iters: int = 8) -> np.ndarray:
 def stack_vectors(col) -> np.ndarray:
     """pandas Series of list<double> (Arrow) -> (n, dim) float64 matrix."""
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def area_resize(arr: np.ndarray, max_side: int) -> np.ndarray:
+    """Exact integer area-mean downsample of a (h, w[, c]) uint8 image so
+    its longer side becomes ``max_side`` (shrink-only; smaller images
+    pass through). Output pixel (i, j) is the half-up-rounded mean of
+    the source box [i*h//th, (i+1)*h//th) x [j*w//tw, (j+1)*w//tw) —
+    pure integer arithmetic ((sum + area//2) // area), so the result is
+    bit-deterministic across hosts and the fixture can plant exact
+    resized-pixel truth. One np.add.reduceat per axis; no Python loops."""
+    if max_side < 1:
+        raise ValueError(f"max_side must be >= 1, got {max_side}")
+    a = np.asarray(arr)
+    if a.dtype != np.uint8 or a.ndim not in (2, 3):
+        raise ValueError(f"want (h, w[, c]) uint8, got {a.dtype} ndim={a.ndim}")
+    h, w = a.shape[:2]
+    s = max(h, w)
+    if s <= max_side:
+        return a.copy()
+    th = max(1, (h * max_side) // s)
+    tw = max(1, (w * max_side) // s)
+    ys = (np.arange(th + 1) * h) // th
+    xs = (np.arange(tw + 1) * w) // tw
+    sums = np.add.reduceat(a.astype(np.int64), ys[:-1], axis=0)
+    sums = np.add.reduceat(sums, xs[:-1], axis=1)
+    areas = np.outer(np.diff(ys), np.diff(xs))
+    if a.ndim == 3:
+        areas = areas[..., None]
+    return ((sums + areas // 2) // areas).astype(np.uint8)

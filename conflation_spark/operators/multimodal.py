@@ -232,6 +232,56 @@ def extract_video_frames(
     return vids.mapInPandas(op, schema=VIDEO_FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_ref string, src_width int, src_height int, "
+    "width int, height int, px_md5 string"
+)
+RESIZE_MAX_SIDE = 24
+
+
+def resize_images(blobs: DataFrame, max_side: int = RESIZE_MAX_SIDE, decoder=None) -> DataFrame:
+    """Thumbnail/resize over binary image blobs — the third multimodal
+    verb alongside decode, feature-extract and frame-sample: decode in
+    the kernel (default PNG; ``decoder`` must return the raw pixel
+    array, so any of the real codecs plugs in), exact integer area-mean
+    downsample (`functions/kernels.area_resize` — bit-deterministic, so
+    lossless-format fixtures can plant EXACT resized-pixel truth), and
+    emit the resized raster's md5 plus source/output dims. A real
+    pipeline would write the resized bytes to an object store; the
+    digest is the testable core of that without parking megabytes in
+    the oracle gate."""
+    from conflation_spark.functions.kernels import area_resize
+    from conflation_spark.functions.png import decode_png
+
+    decode = decoder or decode_png
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                arr = decode(bytes(content))
+                out = area_resize(arr, max_side)
+                rows.append(
+                    (
+                        ref,
+                        arr.shape[1],
+                        arr.shape[0],
+                        out.shape[1],
+                        out.shape[0],
+                        hashlib.md5(out.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "src_width", "src_height", "width", "height", "px_md5",
+                ],
+            )
+
+    imgs = blobs.where(F.col("media_kind") == "image").select("media_ref", "content")
+    return imgs.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
 H264_FRAME_SCHEMA = (
     "media_ref string, frame_idx int, width int, height int, "
     "y_mean_c long, u_mean_c long, v_mean_c long"

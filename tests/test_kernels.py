@@ -72,3 +72,39 @@ def test_hyperplane_signature_batching_invariant():
     )
     assert (full == batched).all()
     assert full.min() >= 0 and full.max() < 256  # 8-bit signatures
+
+
+def test_area_resize_exact_means_and_shapes():
+    from conflation_spark.functions.kernels import area_resize
+
+    a = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    r = area_resize(a, 4)
+    assert r.shape == (4, 4)
+    # box (0,0) = {0,1,8,9}: mean 4.5 rounds half-up to 5
+    assert r[0, 0] == 5
+    # shrink-only: small images pass through untouched (copy, not view)
+    same = area_resize(a, 16)
+    assert np.array_equal(same, a) and same.base is None
+    # channels resize independently and identically
+    rgb = np.stack([a, a, a], axis=2)
+    r3 = area_resize(rgb, 4)
+    assert r3.shape == (4, 4, 3) and (r3[..., 1] == r).all()
+    # extreme aspect: floor keeps >= 1 pixel per axis
+    assert area_resize(np.ones((7, 23), np.uint8), 5).shape == (1, 5)
+    assert area_resize(np.ones((23, 7), np.uint8), 5).shape == (5, 1)
+    # uneven boxes still average exactly: constant image stays constant
+    c = np.full((31, 17), 113, np.uint8)
+    assert (area_resize(c, 6) == 113).all()
+
+
+def test_area_resize_rejects_bad_input():
+    import pytest
+
+    from conflation_spark.functions.kernels import area_resize
+
+    with pytest.raises(ValueError, match="max_side"):
+        area_resize(np.zeros((4, 4), np.uint8), 0)
+    with pytest.raises(ValueError, match="uint8"):
+        area_resize(np.zeros((4, 4), np.float64), 2)
+    with pytest.raises(ValueError, match="uint8"):
+        area_resize(np.zeros(16, np.uint8), 2)

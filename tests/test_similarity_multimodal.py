@@ -470,3 +470,25 @@ def test_empty_probe_set_returns_empty(spark, vectors):
         vectors, empty_q, k=3, id_col="vec_id", vec_col="vec", rerank=10
     )
     assert ivfpq.count() == 0
+
+
+def test_image_resize_matches_planted_truth(spark):
+    """decode->resize chain over real GIF blobs: resized-raster md5 and
+    dims equal truth planted from the SOURCE pixels for EVERY blob (GIF
+    lossless + bit-deterministic integer resize)."""
+    from conflation_spark.datagen_text import ensure_gif_fixture
+    from conflation_spark.functions.gif import decode_gif
+
+    d = ensure_gif_fixture("sf0.001")
+    blobs = spark.read.parquet(f"{d}/gif_blobs.parquet")
+    got = multimodal.resize_images(blobs, decoder=decode_gif)
+    joined = got.join(blobs, "media_ref")
+    n = blobs.count()
+    ok = joined.where(
+        (F.col("src_width") == F.col("true_width"))
+        & (F.col("src_height") == F.col("true_height"))
+        & (F.col("width") == F.col("rs_w"))
+        & (F.col("height") == F.col("rs_h"))
+        & (F.col("px_md5") == F.col("rs_md5"))
+    )
+    assert ok.count() == n == got.count()
