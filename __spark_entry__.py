@@ -453,6 +453,21 @@ def _q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(v, "vec_id", "vec", 0.95)
 
 
+def _q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA moments over the driver embeddings table
+    (operators/pca.covariance_entries): ONE mapInPandas corpus scan
+    reduces each partition to a (d^2+d+1)-double moment row (a single
+    BLAS X.T@X per Arrow batch), a map-side-combined groupBy tree-sums
+    the partials, and the 64x64 population covariance is assembled
+    fully in-plan from model-sized broadcast joins — no vector shuffle,
+    no corpus collect. Integerized at 1e6 so the DuckDB sequential-SUM
+    twin agrees despite float summation order."""
+    from conflation_spark.operators.pca import covariance_entries
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return covariance_entries(emb, "embedding", 64)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.similarity import brute_force_topk
 
@@ -1520,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": _q_url_stats,
         "h264_frames": _q_h264_frames,
         "image_resize": _q_image_resize,
+        "embedding_pca": _q_embedding_pca,
     }
 
 
@@ -2154,6 +2170,28 @@ UNION ALL
 SELECT media_ref, CAST(2 AS INT), true_width, true_height, m1 FROM b
 UNION ALL
 SELECT media_ref, CAST(4 AS INT), true_width, true_height, m2 FROM b
+""",
+        # PCA covariance: DuckDB recomputes the population covariance by
+        # sequential SUM over the unnested arrays; Spark's partitioned
+        # BLAS accumulation differs only at ~1e-13 relative, absorbed by
+        # the 1e6 integerization (both engines round half away from zero)
+        "embedding_pca": """
+WITH u AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+m AS (SELECT i, sum(v) AS s FROM u GROUP BY i)
+SELECT a.i AS i, b.i AS j,
+       CAST(round((sum(a.v * b.v) / n.n - (ma.s / n.n) * (mb.s / n.n)) * 1000000) AS BIGINT) AS cov_c
+FROM u a
+JOIN u b USING (vec_id)
+CROSS JOIN n
+JOIN m ma ON ma.i = a.i
+JOIN m mb ON mb.i = b.i
+GROUP BY a.i, b.i, n.n, ma.s, mb.s
 """,
         "ann_topk": f"""
 WITH v AS (SELECT vec_id, vec FROM read_parquet('{td}/vectors.parquet')),

@@ -401,6 +401,30 @@ def main():
     if not has_kernel or not has_spread or not explicit_n:
         failures.append("h264 decode stage lost its explicit-count hash spread")
 
+    # 20) PCA moments: the corpus scan must feed the per-partition moment
+    # kernel DIRECTLY (no Exchange below the MapInPandas — vectors are
+    # never shuffled), the tiny partial rows tree-reduce through a
+    # map-side partial_sum, and the scan reads ONLY the vector column
+    from conflation_spark.operators.pca import embedding_moments
+
+    emb20 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df20 = embedding_moments(emb20, "embedding", 64)
+    p20 = df20._jdf.queryExecution().executedPlan().toString()
+    has_kernel20 = "MapInPandas" in p20
+    below = p20.split("MapInPandas", 1)[1] if has_kernel20 else ""
+    no_vec_shuffle = "Exchange" not in below
+    partial20 = "partial_sum" in p20
+    pruned20 = "ReadSchema" not in p20 or (
+        "embedding" in p20.split("ReadSchema")[-1][:200]
+        and "vec_id" not in p20.split("ReadSchema")[-1][:200]
+    )
+    print(
+        f"[20] pca moments: kernel={has_kernel20}, vectors unshuffled={no_vec_shuffle}, "
+        f"map-side partial agg={partial20}, vec-only scan={pruned20}"
+    )
+    if not (has_kernel20 and no_vec_shuffle and partial20 and pruned20):
+        failures.append("pca moment reduction lost its scan-local kernel shape")
+
     if failures:
         print("\nFAILURES:")
         for f in failures:
