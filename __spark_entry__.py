@@ -276,6 +276,12 @@ def _gif_dir(sf_dir: str) -> str:
     return ensure_gif_fixture(_sf_name(sf_dir))
 
 
+def _flac_dir(sf_dir: str) -> str:
+    from conflation_spark.datagen_text import ensure_flac_fixture
+
+    return ensure_flac_fixture(_sf_name(sf_dir))
+
+
 def _warc_dir(sf_dir: str) -> str:
     from conflation_spark.datagen_warc import ensure_warc_fixture
 
@@ -868,6 +874,27 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = spark.read.parquet(f"{_text_dir(sf_dir)}/audio_blobs.parquet")
     feats = extract_audio_features(blobs)
+    q = [
+        F.floor(F.col("feature")[i] * 1e6 + F.lit(0.5)).cast("long").alias(f"a{i}")
+        for i in range(16)
+    ]
+    return feats.select("media_ref", "sample_rate", "n_samples", "n_channels", *q)
+
+
+def _q_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode: genuine FLAC streams (fixed + LPC
+    predictors, rice/rice2 residuals, all stereo modes, CRC + MD5
+    validation) parsed by the pure-numpy codec (functions/flac.py) in
+    the mapInPandas kernel; the oracle reads truth planted from the
+    SOURCE samples — FLAC is lossless, so the hash match proves the
+    decoder, same gate as audio_features/gif_features."""
+    from conflation_spark.operators.multimodal import (
+        decode_flac_audio,
+        extract_audio_features,
+    )
+
+    blobs = spark.read.parquet(f"{_flac_dir(sf_dir)}/flac_blobs.parquet")
+    feats = extract_audio_features(blobs, decoder=decode_flac_audio)
     q = [
         F.floor(F.col("feature")[i] * 1e6 + F.lit(0.5)).cast("long").alias(f"a{i}")
         for i in range(16)
@@ -1536,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h264_frames": _q_h264_frames,
         "image_resize": _q_image_resize,
         "embedding_pca": _q_embedding_pca,
+        "flac_features": _q_flac_features,
     }
 
 
@@ -1646,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
     gd = _gif_dir("/root/testdata/sf0.01")
     wd = _warc_dir("/root/testdata/sf0.01")
     hd = _h264_dir("/root/testdata/sf0.01")
+    fd = _flac_dir("/root/testdata/sf0.01")
     from conflation_spark.operators.corpus import (
         URL_HOST_RE as _URL_HOST_RE,
         URL_PATH_RE as _URL_PATH_RE,
@@ -2146,6 +2175,15 @@ SELECT media_ref, true_sample_rate AS sample_rate,
        true_n_samples AS n_samples, true_n_channels AS n_channels,
        {", ".join(f"a{i} AS a{i}" for i in range(16))}
 FROM read_parquet('{td}/audio_blobs.parquet')
+""",
+        # compressed audio: planted-truth design like audio_features —
+        # Spark decodes the FLAC bitstream, the oracle reads ground truth
+        # from the source samples (lossless => exact)
+        "flac_features": f"""
+SELECT media_ref, true_sample_rate AS sample_rate,
+       true_n_samples AS n_samples, true_n_channels AS n_channels,
+       {", ".join(f"a{i} AS a{i}" for i in range(16))}
+FROM read_parquet('{fd}/flac_blobs.parquet')
 """,
         # video: planted per-sampled-frame luma truth (frames 0/2/4)
         "image_resize": f"""

@@ -501,6 +501,97 @@ def ensure_gif_fixture(sf_name: str, root: str | None = None) -> str:
     return out
 
 
+SF_FLAC = {"sf0.001": 24, "sf0.01": 100, "sf0.1": 300, "sf1": 900}
+
+
+def gen_flac_blobs(out_dir: str, n: int, seed: int = 53) -> None:
+    """Real COMPRESSED audio blobs + planted truth — genuine FLAC
+    streams (`functions/flac.py`) with the encoder knobs swept so the
+    fixture exercises every decode path: mono/stereo with all four
+    channel assignments (auto cost-picked plus forced modes), FIXED and
+    genuine Levinson-Durbin LPC subframes, rice AND rice2 residual
+    methods, escaped raw partitions, partition orders 0-2, wasted bits,
+    varied block sizes (incl. partial last frames and the explicit
+    8/16-bit header field), and an off-table sample rate (12000 Hz,
+    16-bit end-of-header field). Truth columns (sample_rate / n_samples
+    / n_channels / quantized 16-segment mean-abs feature) are computed
+    from the SOURCE samples BEFORE encoding; FLAC is lossless, so the
+    Spark-side decode must reproduce them exactly (`flac_features`
+    oracle — same gate design as the WAV/GIF rows)."""
+    from conflation_spark.functions.flac import encode_flac
+    from conflation_spark.functions.wav import audio_feature_segments, quantize_feature
+
+    rng = np.random.default_rng(seed)
+    rates = [8000, 16000, 22050, 12000]
+    modes = ["auto", "independent", "left_side", "right_side", "mid_side"]
+    refs, blobs, srs, lens, chs = [], [], [], [], []
+    feats = np.zeros((n, 16), dtype=np.int64)
+    for i in range(n):
+        sr = int(rates[int(rng.integers(0, len(rates)))])
+        nsamp = int(rng.integers(sr // 20, sr // 4))  # 50-250 ms
+        ch = 2 if rng.random() < 0.5 else 1
+        t = np.arange(nsamp) / sr
+        wave = np.zeros((nsamp, ch))
+        for _ in range(int(rng.integers(1, 4))):
+            f = rng.uniform(80, 2000)
+            amp = rng.uniform(0.05, 0.4)
+            ph = rng.uniform(0, 2 * np.pi, ch)
+            wave += amp * np.sin(2 * np.pi * f * t[:, None] + ph)
+        wave += rng.normal(0, 0.02, (nsamp, ch))
+        s = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+        if rng.random() < 0.15:  # wasted-bits path: zero the low 2 bits
+            s = ((s.astype(np.int32) >> 2) << 2).astype(np.int16)
+        mode = modes[int(rng.integers(0, len(modes)))] if ch == 2 else "auto"
+        blob = encode_flac(
+            s,
+            sr,
+            block_size=int(rng.choice([192, 250, 256, 576, 1024])),
+            stereo_mode=mode,
+            lpc_order=int(rng.choice([0, 0, 2, 4, 8])),
+            rice2=bool(rng.random() < 0.3),
+            partition_order=int(rng.choice([0, 1, 2])),
+            force_escape=bool(rng.random() < 0.15),
+        )
+        refs.append(f"f{i:06d}")
+        blobs.append(blob)
+        srs.append(sr)
+        lens.append(nsamp)
+        chs.append(ch)
+        feats[i] = quantize_feature(audio_feature_segments(s))
+    cols = {
+        "media_ref": pa.array(refs, pa.string()),
+        "media_kind": pa.array(["audio"] * n, pa.string()),
+        "content": pa.array(blobs, pa.binary()),
+        "true_sample_rate": pa.array(srs, pa.int32()),
+        "true_n_samples": pa.array(lens, pa.int64()),
+        "true_n_channels": pa.array(chs, pa.int32()),
+    }
+    for j in range(16):
+        cols[f"a{j}"] = pa.array(feats[:, j].tolist(), pa.int64())
+    pq.write_table(
+        pa.table(cols), os.path.join(out_dir, "flac_blobs.parquet"), row_group_size=8
+    )
+
+
+def ensure_flac_fixture(sf_name: str, root: str | None = None) -> str:
+    """FLAC blobs live in their own fixture dir with their own marker
+    (same isolation rationale as the GIF/H.264 fixtures)."""
+    root = root or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "flac"
+    )
+    if sf_name not in SF_FLAC:
+        sf_name = "sf0.01"
+    out = os.path.join(root, sf_name)
+    marker = os.path.join(out, "_SUCCESS_v1")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    gen_flac_blobs(out, SF_FLAC[sf_name])
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
 SF_H264 = {"sf0.001": 24, "sf0.01": 100, "sf0.1": 400, "sf1": 1200}
 
 

@@ -9,7 +9,10 @@ pure-stdlib/numpy codecs: images as PNG (chunk/CRC parsing + inflate +
 all five unfilters, ``functions/png.py``), baseline+progressive JPEG
 (T.81 Huffman/dequant/IDCT, ``functions/jpeg.py``) and GIF (LZW +
 color tables + interlace, ``functions/gif.py``); 16-bit PCM WAV audio
-(RIFF/fmt/data parsing, ``functions/wav.py``); uncompressed Y4M video
+(RIFF/fmt/data parsing, ``functions/wav.py``) plus compressed FLAC
+(full baseline decode: fixed+LPC predictors, rice/rice2 residuals,
+all stereo decorrelation modes, CRC-8/16 + MD5 validation,
+``functions/flac.py``); uncompressed Y4M video
 (stream header + FRAME markers + 4:2:0 planes, ``functions/y4m.py``)
 AND compressed H.264 baseline I-frame video (Annex-B NAL + CAVLC +
 intra reconstruction, ``functions/h264.py``) — no PIL/libsndfile/
@@ -160,6 +163,19 @@ def decode_audio(content: bytes) -> tuple[int, int, int, np.ndarray]:
     n_channels, 16-segment mean-abs feature). Raises ValueError on
     non-PCM/corrupt input (`functions/wav.py`)."""
     samples, sr = decode_wav(content)
+    return sr, samples.shape[0], samples.shape[1], audio_feature_segments(samples)
+
+
+def decode_flac_audio(content: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Real COMPRESSED audio decode: FLAC bytes -> (sample_rate,
+    n_samples, n_channels, 16-segment mean-abs feature). The full
+    bitstream parse lives in `functions/flac.py`; FLAC is lossless, so
+    the feature equals the source-sample feature exactly (the
+    `flac_features` oracle gate). Raises ValueError on corrupt input
+    (CRC/MD5/framing are all validated)."""
+    from conflation_spark.functions.flac import decode_flac
+
+    samples, sr = decode_flac(content)
     return sr, samples.shape[0], samples.shape[1], audio_feature_segments(samples)
 
 
