@@ -474,6 +474,27 @@ def _q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_entries(emb, "embedding", 64)
 
 
+def _q_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PCA (operators/incremental): checkpoint the corpus
+    slice's moment aggregates (sums — the sufficient statistic), fold
+    the delta slice in with a delta-only scan, and emit the covariance
+    straight from the stored moments. Because moments are plain sums,
+    the end state equals the one-shot computation over the full table —
+    the oracle is the SAME covariance SQL as embedding_pca."""
+    from conflation_spark.operators.incremental import (
+        checkpoint_pca_moments,
+        incremental_pca_covariance,
+        incremental_pca_update,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    delta = emb.where(F.col("vec_id") % 5 == 0)
+    checkpoint_pca_moments(corpus, "oracle_pca_mom", "embedding", 64)
+    incremental_pca_update(spark, "oracle_pca_mom", delta, "embedding", 64)
+    return incremental_pca_covariance(spark, "oracle_pca_mom", 64)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conflation_spark.operators.similarity import brute_force_topk
 
@@ -1564,8 +1585,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": _q_image_resize,
         "embedding_pca": _q_embedding_pca,
         "flac_features": _q_flac_features,
+        "pca_incremental": _q_pca_incremental,
     }
 
+
+# population covariance of the embeddings table, integerized at 1e6 —
+# shared by the one-shot (embedding_pca) and incremental (pca_incremental)
+# paths, which provably agree because PCA moments are plain sums
+_PCA_COV_SQL = """
+WITH u AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+m AS (SELECT i, sum(v) AS s FROM u GROUP BY i)
+SELECT a.i AS i, b.i AS j,
+       CAST(round((sum(a.v * b.v) / n.n - (ma.s / n.n) * (mb.s / n.n)) * 1000000) AS BIGINT) AS cov_c
+FROM u a
+JOIN u b USING (vec_id)
+CROSS JOIN n
+JOIN m ma ON ma.i = a.i
+JOIN m mb ON mb.i = b.i
+GROUP BY a.i, b.i, n.n, ma.s, mb.s
+"""
 
 _DUCK_TOKS = (
     "list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), "
@@ -2212,25 +2256,12 @@ SELECT media_ref, CAST(4 AS INT), true_width, true_height, m2 FROM b
         # PCA covariance: DuckDB recomputes the population covariance by
         # sequential SUM over the unnested arrays; Spark's partitioned
         # BLAS accumulation differs only at ~1e-13 relative, absorbed by
-        # the 1e6 integerization (both engines round half away from zero)
-        "embedding_pca": """
-WITH u AS (
-  SELECT vec_id,
-         CAST(unnest(embedding) AS DOUBLE) AS v,
-         generate_subscripts(embedding, 1) - 1 AS i
-  FROM embeddings
-),
-n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
-m AS (SELECT i, sum(v) AS s FROM u GROUP BY i)
-SELECT a.i AS i, b.i AS j,
-       CAST(round((sum(a.v * b.v) / n.n - (ma.s / n.n) * (mb.s / n.n)) * 1000000) AS BIGINT) AS cov_c
-FROM u a
-JOIN u b USING (vec_id)
-CROSS JOIN n
-JOIN m ma ON ma.i = a.i
-JOIN m mb ON mb.i = b.i
-GROUP BY a.i, b.i, n.n, ma.s, mb.s
-""",
+        # the 1e6 integerization (both engines round half away from zero).
+        # The incremental path folds delta moments into checkpointed
+        # corpus moments — moments are sums, so the end state equals the
+        # one-shot computation and shares this oracle.
+        "pca_incremental": _PCA_COV_SQL,
+        "embedding_pca": _PCA_COV_SQL,
         "ann_topk": f"""
 WITH v AS (SELECT vec_id, vec FROM read_parquet('{td}/vectors.parquet')),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM v ORDER BY vec_id LIMIT 20),

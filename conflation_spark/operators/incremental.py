@@ -637,3 +637,69 @@ def incremental_dedup(
         )
         .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+# ------------------------------------------------------- incremental PCA
+
+def checkpoint_pca_moments(
+    df: DataFrame, table_name: str, vec_col: str, dim: int
+) -> DataFrame:
+    """Persist the corpus's PCA moment aggregates (the d^2+d+1 (idx, val)
+    rows of `operators/pca.embedding_moments`) as a table. Moments are
+    PLAIN SUMS — the sufficient statistic for mean/covariance — so a
+    delta batch folds in with one O(delta) scan plus an O(d^2) merge;
+    the corpus vectors are never re-read (the same index-once contract
+    as the band tables and the IVF index)."""
+    from conflation_spark.operators.pca import embedding_moments
+
+    spark = df.sparkSession
+    _drop_stale_table(spark, table_name)
+    embedding_moments(df, vec_col, dim).coalesce(1).write.mode(
+        "overwrite"
+    ).saveAsTable(table_name)
+    return spark.table(table_name)
+
+
+def incremental_pca_update(
+    spark, table_name: str, delta: DataFrame, vec_col: str, dim: int
+) -> DataFrame:
+    """Fold a delta batch into the checkpointed moments WITHOUT touching
+    the corpus: scan only the delta (one mapInPandas moment pass), union
+    with the stored d^2+d+1 rows, and sum per index. The merged result
+    (model-sized by contract) is materialized on the driver before the
+    overwrite so the table is never read and rewritten in one plan.
+    Equality with a full recompute holds exactly under the gated 1e6
+    integerization (float sums reassociate at ~1e-13 relative)."""
+    from conflation_spark.operators.pca import embedding_moments
+
+    delta_mom = embedding_moments(delta, vec_col, dim)
+    merged = (
+        spark.table(table_name)
+        .unionByName(delta_mom)
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+    )
+    rows = [(int(r["idx"]), float(r["val"])) for r in merged.collect()]
+    spark.createDataFrame(rows, "idx int, val double").coalesce(1).write.mode(
+        "overwrite"
+    ).saveAsTable(table_name)
+    return spark.table(table_name)
+
+
+def incremental_pca_covariance(
+    spark, table_name: str, dim: int, scale: int = 1_000_000
+) -> DataFrame:
+    """Integerized covariance entries straight from the checkpointed
+    moments — zero corpus work; the gated twin of `embedding_pca` for
+    the incremental path."""
+    from conflation_spark.operators.pca import moments_to_covariance
+
+    return moments_to_covariance(spark.table(table_name), dim, scale)
+
+
+def incremental_pca_fit(spark, table_name: str, dim: int, k: int):
+    """PCAModel from the checkpointed moments (driver-side eigh, same
+    deterministic sign convention as `pca.pca_fit`)."""
+    from conflation_spark.operators.pca import fit_from_moments
+
+    return fit_from_moments(spark.table(table_name), dim, k)

@@ -99,7 +99,13 @@ def covariance_entries(
     ``scale`` — the DuckDB-gated surface. Derived fully in-plan from the
     moment rows: the d^2-row Gram slice joins the broadcast d-row mean
     slice twice plus the 1-row count; all join inputs are model-sized."""
-    mom = embedding_moments(df, vec_col, dim)
+    return moments_to_covariance(embedding_moments(df, vec_col, dim), dim, scale)
+
+
+def moments_to_covariance(mom: DataFrame, dim: int, scale: int = 1_000_000) -> DataFrame:
+    """(idx, val) moment rows -> integerized (i, j, cov_c) covariance —
+    shared by the one-shot path and the incremental checkpointed path
+    (moments are plain sums, so folded moments flow through unchanged)."""
     d2 = dim * dim
     g = mom.where(F.col("idx") < d2).select(
         (F.col("idx") / dim).cast("int").alias("i"),
@@ -154,7 +160,15 @@ def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int) -> PCAModel:
     largest-|entry| coordinate is positive."""
     if k < 1 or k > dim:
         raise ValueError(f"k must be in [1, {dim}], got {k}")
-    rows = embedding_moments(df, vec_col, dim).collect()
+    return fit_from_moments(embedding_moments(df, vec_col, dim), dim, k)
+
+
+def fit_from_moments(mom: DataFrame, dim: int, k: int) -> PCAModel:
+    """Fit from an (idx, val) moment DataFrame — the one-shot and
+    incremental paths share this driver-side assembly."""
+    if k < 1 or k > dim:
+        raise ValueError(f"k must be in [1, {dim}], got {k}")
+    rows = mom.collect()
     d2 = dim * dim
     flat = np.zeros(d2 + dim + 1, dtype=np.float64)
     for r in rows:

@@ -118,3 +118,64 @@ def test_guards(spark):
         pca_fit(df, "embedding", DIM, k=DIM + 1)
     with pytest.raises(Exception, match="dim mismatch"):
         covariance_entries(df, "embedding", DIM - 1).collect()
+
+
+# -------------------------------------------------- incremental moments
+
+def test_incremental_fold_equals_full_recompute(spark):
+    """checkpoint(corpus) + fold(delta) must equal the one-shot moments
+    over corpus|delta — exactly under the gated integerization, and to
+    float-reassociation tolerance on the raw covariance."""
+    from conflation_spark.operators.incremental import (
+        checkpoint_pca_moments,
+        incremental_pca_covariance,
+        incremental_pca_fit,
+        incremental_pca_update,
+    )
+
+    x = _corpus(seed=31, n=240)
+    full = _df(spark, x)
+    corpus = _df(spark, x[:170], parts=3)
+    delta = _df(spark, x[170:], parts=2)
+    checkpoint_pca_moments(corpus, "t_pca_mom", "embedding", DIM)
+    incremental_pca_update(spark, "t_pca_mom", delta, "embedding", DIM)
+
+    inc = {
+        (r["i"], r["j"]): r["cov_c"]
+        for r in incremental_pca_covariance(spark, "t_pca_mom", DIM).collect()
+    }
+    one = {
+        (r["i"], r["j"]): r["cov_c"]
+        for r in covariance_entries(full, "embedding", DIM).collect()
+    }
+    assert inc == one
+
+    m_inc = incremental_pca_fit(spark, "t_pca_mom", DIM, k=4)
+    m_one = pca_fit(full, "embedding", DIM, k=4)
+    assert np.allclose(m_inc.components, m_one.components, atol=1e-8)
+    assert np.allclose(m_inc.explained_variance, m_one.explained_variance, rtol=1e-8)
+
+
+def test_incremental_fold_is_associative(spark):
+    """Two successive delta folds equal one combined fold (sums)."""
+    from conflation_spark.operators.incremental import (
+        checkpoint_pca_moments,
+        incremental_pca_covariance,
+        incremental_pca_update,
+    )
+
+    x = _corpus(seed=37, n=180)
+    checkpoint_pca_moments(_df(spark, x[:100]), "t_pca_mom2", "embedding", DIM)
+    incremental_pca_update(spark, "t_pca_mom2", _df(spark, x[100:140]), "embedding", DIM)
+    incremental_pca_update(spark, "t_pca_mom2", _df(spark, x[140:]), "embedding", DIM)
+    two = {
+        (r["i"], r["j"]): r["cov_c"]
+        for r in incremental_pca_covariance(spark, "t_pca_mom2", DIM).collect()
+    }
+    checkpoint_pca_moments(_df(spark, x[:100]), "t_pca_mom3", "embedding", DIM)
+    incremental_pca_update(spark, "t_pca_mom3", _df(spark, x[100:]), "embedding", DIM)
+    one = {
+        (r["i"], r["j"]): r["cov_c"]
+        for r in incremental_pca_covariance(spark, "t_pca_mom3", DIM).collect()
+    }
+    assert two == one
