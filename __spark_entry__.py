@@ -474,6 +474,21 @@ def _q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_entries(emb, "embedding", 64)
 
 
+def _q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine text embedder (operators/embed.py): feature-hashed
+    tokens + md5-derived {+1,-1} sign projection -> unit vectors. Raw
+    coordinates are exact integers (counts x signs), so the normalized
+    values are bit-identical across engines (IEEE sqrt/divide) — the
+    DuckDB twin rebuilds the projection from the same md5 derivation,
+    no side table. One shuffle total (rule-10 co-partitioned groupBys
+    + closure-broadcast matrix in the kernel)."""
+    from conflation_spark.operators.embed import embed_documents, embedding_entries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = embed_documents(docs, "doc_id", "text")
+    return embedding_entries(emb, "doc_id")
+
+
 def _q_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental PCA (operators/incremental): checkpoint the corpus
     slice's moment aggregates (sums — the sufficient statistic), fold
@@ -1586,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": _q_embedding_pca,
         "flac_features": _q_flac_features,
         "pca_incremental": _q_pca_incremental,
+        "doc_embeddings": _q_doc_embeddings,
     }
 
 
@@ -2262,6 +2278,33 @@ SELECT media_ref, CAST(4 AS INT), true_width, true_height, m2 FROM b
         # one-shot computation and shares this oracle.
         "pca_incremental": _PCA_COV_SQL,
         "embedding_pca": _PCA_COV_SQL,
+        # in-engine embedder: the projection matrix is DERIVED (md5 of
+        # "<seed>:<bucket>_<dim>"), so the twin rebuilds it inline; raw
+        # sums are exact integers, normalization is IEEE-deterministic
+        "doc_embeddings": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+bc AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 13) AS BIGINT) % 4096 AS bucket,
+         count(*) AS cnt
+  FROM toks GROUP BY 1, 2
+),
+raw AS (
+  SELECT doc_id, t.d AS d,
+         SUM(cnt * (CASE WHEN CAST('0x' || substr(md5(
+               '17:' || CAST(bucket AS VARCHAR) || '_' || CAST(t.d AS VARCHAR)
+             ), 1, 13) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)) AS r
+  FROM bc, range(64) t(d)
+  GROUP BY 1, 2
+),
+n AS (SELECT doc_id, sqrt(CAST(SUM(r * r) AS DOUBLE)) AS nrm FROM raw GROUP BY 1)
+SELECT raw.doc_id AS doc_id, CAST(d AS INT) AS d,
+       CAST(round(CAST(r AS DOUBLE) / nrm * 1000000) AS BIGINT) AS val_c
+FROM raw JOIN n USING (doc_id)
+WHERE nrm > 0
+""",
         "ann_topk": f"""
 WITH v AS (SELECT vec_id, vec FROM read_parquet('{td}/vectors.parquet')),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM v ORDER BY vec_id LIMIT 20),

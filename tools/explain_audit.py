@@ -425,6 +425,20 @@ def main():
     if not (has_kernel20 and no_vec_shuffle and partial20 and pruned20):
         failures.append("pca moment reduction lost its scan-local kernel shape")
 
+    # 21) text embedder: ONE shuffle total — the explicit repartition on
+    # the doc id; both downstream groupBys (token counts, per-doc
+    # collapse) must reuse hash(id) via rule-10 subset co-partitioning
+    from conflation_spark.operators.embed import embed_documents, embedding_entries
+
+    docs21 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df21 = embedding_entries(embed_documents(docs21, "doc_id", "text"), "doc_id")
+    p21 = df21._jdf.queryExecution().executedPlan().toString()
+    n_exch21 = p21.count("Exchange")
+    has_kernel21 = "MapInPandas" in p21
+    print(f"[21] embedder: exchanges={n_exch21} (want 1), kernel={has_kernel21}")
+    if n_exch21 != 1 or not has_kernel21:
+        failures.append("embedder lost its single-shuffle co-partitioned shape")
+
     if failures:
         print("\nFAILURES:")
         for f in failures:
