@@ -938,6 +938,23 @@ def _q_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_ref", "sample_rate", "n_samples", "n_channels", *q)
 
 
+def _q_flac_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio analysis on REAL compressed input: FLAC
+    decode + framed power spectrum -> 8 relative band energies
+    (operators/multimodal.extract_audio_spectrum); the oracle reads
+    truth planted from the SOURCE samples — lossless decode plus the
+    shared deterministic reduction makes the match exact."""
+    from conflation_spark.operators.multimodal import extract_audio_spectrum
+
+    blobs = spark.read.parquet(f"{_flac_dir(sf_dir)}/flac_blobs.parquet")
+    feats = extract_audio_spectrum(blobs)
+    q = [
+        F.floor(F.col("feature")[i] * 1e6 + F.lit(0.5)).cast("long").alias(f"s{i}")
+        for i in range(8)
+    ]
+    return feats.select("media_ref", "sample_rate", "n_fft_frames", *q)
+
+
 def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame decode: uncompressed Y4M streams parsed in the
     mapInPandas kernel (functions/y4m.py), sampling frames 0/2/4; the
@@ -1602,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flac_features": _q_flac_features,
         "pca_incremental": _q_pca_incremental,
         "doc_embeddings": _q_doc_embeddings,
+        "flac_spectrum": _q_flac_spectrum,
     }
 
 
@@ -2243,6 +2261,12 @@ FROM read_parquet('{td}/audio_blobs.parquet')
 SELECT media_ref, true_sample_rate AS sample_rate,
        true_n_samples AS n_samples, true_n_channels AS n_channels,
        {", ".join(f"a{i} AS a{i}" for i in range(16))}
+FROM read_parquet('{fd}/flac_blobs.parquet')
+""",
+        "flac_spectrum": f"""
+SELECT media_ref, true_sample_rate AS sample_rate,
+       true_n_fft_frames AS n_fft_frames,
+       {", ".join(f"s{i} AS s{i}" for i in range(8))}
 FROM read_parquet('{fd}/flac_blobs.parquet')
 """,
         # video: planted per-sampled-frame luma truth (frames 0/2/4)

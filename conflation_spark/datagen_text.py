@@ -519,13 +519,19 @@ def gen_flac_blobs(out_dir: str, n: int, seed: int = 53) -> None:
     Spark-side decode must reproduce them exactly (`flac_features`
     oracle — same gate design as the WAV/GIF rows)."""
     from conflation_spark.functions.flac import encode_flac
-    from conflation_spark.functions.wav import audio_feature_segments, quantize_feature
+    from conflation_spark.functions.wav import (
+        AUDIO_SPECTRUM_NFFT,
+        audio_feature_segments,
+        quantize_feature,
+        spectral_band_energies,
+    )
 
     rng = np.random.default_rng(seed)
     rates = [8000, 16000, 22050, 12000]
     modes = ["auto", "independent", "left_side", "right_side", "mid_side"]
-    refs, blobs, srs, lens, chs = [], [], [], [], []
+    refs, blobs, srs, lens, chs, nffts = [], [], [], [], [], []
     feats = np.zeros((n, 16), dtype=np.int64)
+    specs = np.zeros((n, 8), dtype=np.int64)
     for i in range(n):
         sr = int(rates[int(rng.integers(0, len(rates)))])
         nsamp = int(rng.integers(sr // 20, sr // 4))  # 50-250 ms
@@ -557,7 +563,11 @@ def gen_flac_blobs(out_dir: str, n: int, seed: int = 53) -> None:
         srs.append(sr)
         lens.append(nsamp)
         chs.append(ch)
+        nffts.append(nsamp // AUDIO_SPECTRUM_NFFT)
         feats[i] = quantize_feature(audio_feature_segments(s))
+        # frequency-domain truth, also from the SOURCE samples: relative
+        # 8-band spectral energies (lossless decode reproduces exactly)
+        specs[i] = quantize_feature(spectral_band_energies(s))
     cols = {
         "media_ref": pa.array(refs, pa.string()),
         "media_kind": pa.array(["audio"] * n, pa.string()),
@@ -565,9 +575,12 @@ def gen_flac_blobs(out_dir: str, n: int, seed: int = 53) -> None:
         "true_sample_rate": pa.array(srs, pa.int32()),
         "true_n_samples": pa.array(lens, pa.int64()),
         "true_n_channels": pa.array(chs, pa.int32()),
+        "true_n_fft_frames": pa.array(nffts, pa.int32()),
     }
     for j in range(16):
         cols[f"a{j}"] = pa.array(feats[:, j].tolist(), pa.int64())
+    for j in range(8):
+        cols[f"s{j}"] = pa.array(specs[:, j].tolist(), pa.int64())
     pq.write_table(
         pa.table(cols), os.path.join(out_dir, "flac_blobs.parquet"), row_group_size=8
     )
@@ -582,7 +595,7 @@ def ensure_flac_fixture(sf_name: str, root: str | None = None) -> str:
     if sf_name not in SF_FLAC:
         sf_name = "sf0.01"
     out = os.path.join(root, sf_name)
-    marker = os.path.join(out, "_SUCCESS_v1")
+    marker = os.path.join(out, "_SUCCESS_v2")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)

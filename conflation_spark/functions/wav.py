@@ -102,3 +102,37 @@ def audio_feature_segments(samples: np.ndarray) -> np.ndarray:
 def quantize_feature(feat: np.ndarray) -> np.ndarray:
     """floor(x*1e6 + 0.5) — the repo's oracle-parity integerization."""
     return np.floor(np.asarray(feat, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+
+
+AUDIO_SPECTRUM_BANDS = 8
+AUDIO_SPECTRUM_NFFT = 256
+
+
+def spectral_band_energies(
+    samples: np.ndarray,
+    n_bands: int = AUDIO_SPECTRUM_BANDS,
+    n_fft: int = AUDIO_SPECTRUM_NFFT,
+) -> np.ndarray:
+    """Relative spectral band energies: channel-pooled signal framed at
+    ``n_fft`` (rectangular window, hop == frame), power spectrum per
+    frame, DC dropped, the first ``(n_fft/2 // n_bands) * n_bands`` bins
+    split into ``n_bands`` equal groups, mean energy per band over all
+    frames, normalized to sum 1 (scale-invariant). Deterministic given
+    the samples (one numpy rfft); planted-truth gates compare the same
+    reduction on source and decoded samples — lossless codecs make the
+    match exact."""
+    a = np.asarray(samples, dtype=np.float64) / 32768.0
+    if a.ndim == 2:
+        a = a.mean(axis=1)
+    n = (a.size // n_fft) * n_fft
+    if n == 0:
+        frames = np.zeros((1, n_fft))
+        frames[0, : a.size] = a
+    else:
+        frames = a[:n].reshape(-1, n_fft)
+    p = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    per_band = (n_fft // 2) // n_bands
+    bins = p[:, 1 : 1 + per_band * n_bands]
+    e = bins.mean(axis=0).reshape(n_bands, per_band).mean(axis=1)
+    tot = float(e.sum())
+    return e / tot if tot > 0 else e

@@ -179,6 +179,45 @@ def decode_flac_audio(content: bytes) -> tuple[int, int, int, np.ndarray]:
     return sr, samples.shape[0], samples.shape[1], audio_feature_segments(samples)
 
 
+def decode_flac_spectrum(content: bytes) -> tuple[int, int, np.ndarray]:
+    """FLAC decode + spectral analysis: -> (sample_rate, n_fft_frames,
+    8-band relative spectral energy). The band energies come from the
+    shared `functions/wav.spectral_band_energies` reduction, so planted
+    source-sample truth gates the decode exactly (lossless)."""
+    from conflation_spark.functions.flac import decode_flac
+    from conflation_spark.functions.wav import (
+        AUDIO_SPECTRUM_NFFT,
+        spectral_band_energies,
+    )
+
+    samples, sr = decode_flac(content)
+    return sr, samples.shape[0] // AUDIO_SPECTRUM_NFFT, spectral_band_energies(samples)
+
+
+def extract_audio_spectrum(blobs: DataFrame, decoder=None) -> DataFrame:
+    """mapInPandas over binary content -> (sample_rate, n_fft_frames,
+    feature[8] relative band energies) — the frequency-domain sibling of
+    ``extract_audio_features``; FLAC decode by default."""
+    decode = decoder or decode_flac_spectrum
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                sr, nf, feat = decode(bytes(content))
+                rows.append((ref, sr, nf, [float(x) for x in feat]))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "sample_rate", "n_fft_frames", "feature"],
+            )
+
+    auds = blobs.where(F.col("media_kind") == "audio").select("media_ref", "content")
+    return auds.mapInPandas(
+        op,
+        schema="media_ref string, sample_rate int, n_fft_frames int, feature array<double>",
+    )
+
+
 def extract_audio_features(blobs: DataFrame, decoder=None) -> DataFrame:
     """mapInPandas over binary content -> (sample_rate, n_samples,
     n_channels, feature[16]) — the audio twin of

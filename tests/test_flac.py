@@ -204,3 +204,39 @@ def test_fixture_decode_matches_planted_truth(spark):
                 r["media_ref"],
                 i,
             )
+
+
+# ------------------------------------------------------- spectrum
+
+def test_spectral_band_energies_localize_tones():
+    from conflation_spark.functions.wav import spectral_band_energies
+
+    sr = 16000
+    t = np.arange(4096) / sr
+    for band, frac in ((1, 0.125), (4, 0.5 * 9 / 16), (6, 0.5 * 13 / 16)):
+        tone = (10000 * np.sin(2 * np.pi * (sr * frac) * t)).astype(np.int16)
+        e = spectral_band_energies(tone)
+        assert int(np.argmax(e)) == band, (band, e)
+        assert abs(float(e.sum()) - 1.0) < 1e-12
+
+
+def test_fixture_spectrum_matches_planted_truth(spark):
+    from conflation_spark.datagen_text import SF_FLAC, ensure_flac_fixture
+    from conflation_spark.operators.multimodal import extract_audio_spectrum
+
+    d = ensure_flac_fixture("sf0.001")
+    blobs = spark.read.parquet(f"{d}/flac_blobs.parquet")
+    rows = (
+        extract_audio_spectrum(blobs)
+        .join(blobs.drop("content"), "media_ref")
+        .collect()
+    )
+    assert len(rows) == SF_FLAC["sf0.001"]
+    for r in rows:
+        assert r["sample_rate"] == r["true_sample_rate"]
+        assert r["n_fft_frames"] == r["true_n_fft_frames"]
+        for i in range(8):
+            assert math.floor(r["feature"][i] * 1e6 + 0.5) == r[f"s{i}"], (
+                r["media_ref"],
+                i,
+            )
