@@ -32,6 +32,8 @@ operators/similarity.py.
 from __future__ import annotations
 
 import hashlib
+import re as _re
+from collections import Counter as _Counter
 from functools import lru_cache
 from typing import Iterator
 
@@ -121,3 +123,66 @@ def embedding_entries(emb: DataFrame, id_col: str, scale: int = 1_000_000) -> Da
         F.col("d").cast("int").alias("d"),
         F.round(F.col("v") * scale).cast("long").alias("val_c"),
     )
+
+
+# Java's `\s` (used by the batch path's F.split) is ASCII-only; re.ASCII
+# matches its exact class [ \t\n\x0B\f\r], keeping the two tokenizers
+# identical byte-for-byte on any input
+_WS_RE = _re.compile(r"\s+", _re.ASCII)
+
+
+def embed_one(
+    text: str,
+    proj: np.ndarray,
+    buckets: int = EMBED_BUCKETS,
+) -> np.ndarray | None:
+    """Single-document embedding, pure Python/numpy — the per-row kernel
+    of the stateless path. None for docs with no tokens / zero raw
+    projection (matching the aggregate path's drop semantics)."""
+    toks = [t for t in _WS_RE.split(text.lower()) if t]
+    if not toks:
+        return None
+    counts = _Counter(
+        int(hashlib.md5(t.encode()).hexdigest()[:13], 16) % buckets for t in toks
+    )
+    idx = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
+    cnt = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    raw = proj[idx].astype(np.int64).T @ cnt
+    ss = int(raw @ raw)
+    if ss == 0:
+        return None
+    return raw / np.sqrt(float(ss))
+
+
+def embed_documents_stateless(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = EMBED_DIM,
+    buckets: int = EMBED_BUCKETS,
+    seed: int = EMBED_SEED,
+) -> DataFrame:
+    """Per-row embedder: tokenize/hash/count/project inside ONE stateless
+    mapInPandas kernel — no shuffle, no state, so it runs unchanged on a
+    STREAMING DataFrame (ingest-time embedding). Output is EXACTLY equal
+    to ``embed_documents`` (integer raw sums + IEEE normalization; the
+    Python tokenizer reproduces the JVM `\\s+`/lower split — parity
+    tested). Prefer the aggregate path for batch jobs (JVM tokenize);
+    this one exists for streams and trades tokenization to Python."""
+    proj = projection_matrix(buckets, dim, seed)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                v = embed_one(text if text is not None else "", proj, buckets)
+                if v is None:
+                    continue
+                ids.append(did)
+                vecs.append(v.tolist())
+            yield pd.DataFrame({id_col: ids, "embedding": vecs})
+
+    schema = f"{id_col} string, embedding array<double>"
+    return docs.select(
+        F.col(id_col).cast("string").alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(kernel, schema=schema)

@@ -595,3 +595,18 @@ def stateful_user_totals(spark, input_dir: str, max_files_per_trigger: int = 1):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_doc_embeddings(spark, input_dir: str) -> DataFrame:
+    """readStream over a textdocs directory -> per-doc unit-vector
+    embeddings at ingest time, via the stateless per-row kernel
+    (`operators.embed.embed_documents_stateless`): zero shuffle, zero
+    state, output EXACTLY equal to the batch `embed_documents`
+    aggregate plan (integer raw sums + IEEE normalization; parity
+    tested) — so a stream can feed the same PCA / ANN / semantic-dedup
+    stages as a batch corpus without re-embedding."""
+    from conflation_spark.operators.embed import embed_documents_stateless
+
+    schema = "text_id string, text string"
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return embed_documents_stateless(stream, "text_id", "text")

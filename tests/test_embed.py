@@ -132,3 +132,57 @@ def test_composes_with_pca_and_ann(spark):
     # neighbor is the original, at cosine exactly 1.0
     assert ranked[0]["neighbor_id"] == "doc000"
     assert ranked[0]["cosine_c"] == 1_000_000
+
+
+def test_stateless_equals_aggregate_path(spark):
+    """Per-row kernel == aggregate path, bit-for-bit (same integer raw
+    sums, same IEEE normalization, same tokenizer semantics)."""
+    from conflation_spark.operators.embed import embed_documents_stateless
+
+    df = spark.createDataFrame(DOCS, "doc_id string, text string").repartition(3)
+    agg = {r["doc_id"]: r["embedding"] for r in embed_documents(df, "doc_id", "text").collect()}
+    row = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_documents_stateless(df, "doc_id", "text").collect()
+    }
+    assert set(agg) == set(row)
+    for k in agg:
+        assert agg[k] == row[k], k
+
+
+def test_streaming_embeddings_equal_batch(spark, tmp_path):
+    """The readStream embedder over the textdocs fixture produces
+    exactly the batch embed_documents rows (ingest-time embedding)."""
+    import time
+
+    from conflation_spark.datagen_text import ensure_text_fixture
+    from conflation_spark.streaming.ingest import streaming_doc_embeddings
+
+    d = ensure_text_fixture("sf0.001")
+    td = spark.read.parquet(f"{d}/textdocs.parquet")
+    src = str(tmp_path / "textdocs_stream")
+    td.select("text_id", "text").repartition(3).write.parquet(src)
+
+    out = streaming_doc_embeddings(spark, src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sembed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 120
+    while q.isActive and time.time() < deadline:
+        time.sleep(0.5)
+    assert not q.isActive, "stream did not finish"
+    got = {
+        r["text_id"]: r["embedding"]
+        for r in spark.sql("select * from sembed").collect()
+    }
+    want = {
+        r["text_id"]: r["embedding"]
+        for r in embed_documents(td, "text_id", "text").collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], k
