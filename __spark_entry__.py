@@ -592,6 +592,23 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts on the similarity graph
+    (operators/graph.triangle_count): degree-ordered orientation bounds
+    the wedge join at O(m^1.5) and generates each triangle exactly once;
+    exact integer counts are bit-equal at any parallelism. Edges are the
+    same LSH-banded cosine pairs the pagerank query uses, so the DuckDB
+    twin rebuilds them from the fixture's emb_bands."""
+    from conflation_spark.operators.dedup import embedding_cosine_pairs
+    from conflation_spark.operators.graph import triangle_count
+
+    v = spark.read.parquet(f"{_text_dir(sf_dir)}/vectors.parquet")
+    pairs = embedding_cosine_pairs(v, "vec_id", "vec", PR_GRAPH_THRESHOLD)
+    return triangle_count(pairs, v, id_col="vec_id").select(
+        F.col("id").alias("doc_id"), "n_triangles"
+    )
+
+
 PQ_RERANK = 40  # ADC shortlist size for the re-ranked PQ query
 
 
@@ -1620,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_incremental": _q_pca_incremental,
         "doc_embeddings": _q_doc_embeddings,
         "flac_spectrum": _q_flac_spectrum,
+        "triangle_counts": _q_triangle_counts,
     }
 
 
@@ -3024,6 +3042,36 @@ r{i} AS (
 """
         for i in range(1, PR_ITERS + 1)
     )
+    # triangles over the same similarity graph: degree-ordered
+    # orientation (same construction as the Spark plan) so each
+    # triangle closes in exactly one direction
+    sqls["triangle_counts"] = f"""
+WITH p AS ({_emb_pairs_sql(td, PR_GRAPH_THRESHOLD)}),
+e AS (SELECT id_a AS a, id_b AS b FROM p),
+deg AS (
+  SELECT id, count(*) AS d
+  FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS dst
+  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b
+),
+tri AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM o e1
+  JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+pv AS (
+  SELECT id, count(*) AS n
+  FROM (SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+        UNION ALL SELECT z AS id FROM tri) GROUP BY 1
+)
+SELECT v.vec_id AS doc_id, CAST(coalesce(pv.n, 0) AS BIGINT) AS n_triangles
+FROM (SELECT vec_id FROM read_parquet('{td}/vectors.parquet')) v
+LEFT JOIN pv ON pv.id = v.vec_id
+"""
     sqls["graph_pagerank"] = f"""
 WITH p AS ({_emb_pairs_sql(td, PR_GRAPH_THRESHOLD)}),
 sym AS (

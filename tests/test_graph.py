@@ -105,3 +105,68 @@ def test_similarity_pagerank_dense_core_outranks_pendants(spark):
     assert got["v0"] == max(got.values())  # highest degree
     assert min(got[f"v{i}"] for i in range(3)) > got["v4"]  # core > chain tail
     assert got["v5"] == min(got.values())  # isolated: teleport only
+
+
+# ------------------------------------------------------- triangles
+
+def _tri_df(spark, edges, node_ids):
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a string, id_b string"
+    )
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id string")
+    from conflation_spark.operators.graph import triangle_count
+
+    out = triangle_count(pairs, nodes)
+    return {r["id"]: r["n_triangles"] for r in out.collect()}
+
+
+def test_triangle_count_known_graphs(spark):
+    # K4: 4 triangles, every vertex in 3
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    assert _tri_df(spark, k4, "abcd") == {v: 3 for v in "abcd"}
+    # path: no triangles
+    assert _tri_df(spark, [("a", "b"), ("b", "c"), ("c", "d")], "abcd") == {
+        v: 0 for v in "abcd"
+    }
+    # two triangles sharing edge (b, c)
+    bowtie = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")]
+    assert _tri_df(spark, bowtie, "abcd") == {"a": 1, "b": 2, "c": 2, "d": 1}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    n = 40
+    ids = [f"v{i:02d}" for i in range(n)]
+    edges = set()
+    for _ in range(160):
+        i, j = rng.integers(0, n, 2)
+        if i != j:
+            edges.add((ids[min(i, j)], ids[max(i, j)]))
+    adj = {v: set() for v in ids}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {v: 0 for v in ids}
+    for a, b, c in itertools.combinations(ids, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    got = _tri_df(spark, sorted(edges), ids)
+    assert got == want
+
+
+def test_triangle_count_partition_invariant(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("b", "d")]
+    pairs3 = spark.createDataFrame(edges, "id_a string, id_b string").repartition(3)
+    pairs1 = spark.createDataFrame(edges, "id_a string, id_b string").coalesce(1)
+    nodes = spark.createDataFrame([(v,) for v in "abcd"], "id string")
+    from conflation_spark.operators.graph import triangle_count
+
+    a = sorted(map(tuple, triangle_count(pairs3, nodes).collect()))
+    b = sorted(map(tuple, triangle_count(pairs1, nodes).collect()))
+    assert a == b
