@@ -439,6 +439,27 @@ def main():
     if n_exch21 != 1 or not has_kernel21:
         failures.append("embedder lost its single-shuffle co-partitioned shape")
 
+    # 22) triangle counting: every join must be an equi-join (the
+    # degree-ordered wedge join hashes on src; the closing join hashes
+    # on the (y, z) pair) — a nested-loop/cartesian here is the O(n^2)
+    # trap the orientation exists to avoid
+    from conflation_spark.operators.graph import triangle_count
+
+    pairs22 = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d")], "id_a string, id_b string"
+    )
+    nodes22 = spark.createDataFrame([(v,) for v in "abcd"], "id string")
+    p22 = (
+        triangle_count(pairs22, nodes22)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    no_nlj = "BroadcastNestedLoopJoin" not in p22 and "CartesianProduct" not in p22
+    print(f"[22] triangles: equi-joins only={no_nlj}")
+    if not no_nlj:
+        failures.append("triangle counting plans a nested-loop/cartesian join")
+
     if failures:
         print("\nFAILURES:")
         for f in failures:
