@@ -196,3 +196,62 @@ def test_lm_logprobs_are_proper(counts, vocab_k):
     assert all(p > 0 for p in probs)
     assert abs(sum(probs) - 1.0) < 1e-9
     assert all(math.log(p) < 0 for p in probs)
+
+
+# ----------------------------------------------------------- FLAC fuzz
+
+from conflation_spark.functions.flac import decode_flac, encode_flac  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.lists(st.integers(-4000, 4000), min_size=3, max_size=600),
+    ch=st.integers(1, 2),
+    lpc=st.sampled_from([0, 2, 5]),
+    rice2=st.booleans(),
+    po=st.integers(0, 2),
+    esc=st.booleans(),
+)
+def test_flac_roundtrip_arbitrary_signals(data, ch, lpc, rice2, po, esc):
+    """Any int16-range signal round-trips losslessly under any knob
+    combination — the property that makes the codec a codec."""
+    n = len(data) // ch * ch
+    if n == 0:
+        return
+    s = np.array(data[:n], dtype=np.int16).reshape(-1, ch)
+    blob = encode_flac(
+        s if ch == 2 else s[:, 0], 16000,
+        block_size=192, lpc_order=lpc, rice2=rice2,
+        partition_order=po, force_escape=esc,
+    )
+    dec, sr = decode_flac(blob)
+    assert sr == 16000
+    assert np.array_equal(dec, s)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    pos_frac=st.floats(0.0, 1.0),
+    mode=st.sampled_from(["flip", "truncate", "insert"]),
+)
+def test_flac_corruption_never_crashes(seed, pos_frac, mode):
+    """Arbitrary corruption (bit flip / truncation / byte insertion) must
+    either decode to the ORIGINAL samples (corruption hit dead bytes —
+    impossible here since every byte is load-bearing, but allowed) or
+    raise ValueError — never an unguarded IndexError/KeyError/hang."""
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-3000, 3000, 400).astype(np.int16)
+    blob = bytearray(encode_flac(s, 16000, block_size=192))
+    pos = min(int(pos_frac * len(blob)), len(blob) - 1)
+    if mode == "flip":
+        blob[pos] ^= 1 << int(rng.integers(0, 8))
+    elif mode == "truncate":
+        blob = blob[:pos]
+    else:
+        blob = blob[:pos] + bytes([int(rng.integers(0, 256))]) + blob[pos:]
+    try:
+        dec, _ = decode_flac(bytes(blob))
+    except ValueError:
+        return  # the contract: corruption -> ValueError
+    assert np.array_equal(dec[:, 0], s), "corrupt stream decoded to wrong samples"
