@@ -282,6 +282,12 @@ def _flac_dir(sf_dir: str) -> str:
     return ensure_flac_fixture(_sf_name(sf_dir))
 
 
+def _robots_dir(sf_dir: str) -> str:
+    from conflation_spark.datagen_warc import ensure_robots_fixture
+
+    return ensure_robots_fixture(_sf_name(sf_dir))
+
+
 def _warc_dir(sf_dir: str) -> str:
     from conflation_spark.datagen_warc import ensure_warc_fixture
 
@@ -590,6 +596,33 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_pagerank(v, pairs, id_col="vec_id").select(
         F.col("vec_id").alias("doc_id"), "rank_c"
     )
+
+
+def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing (operators/robots.parse_robots): stateless
+    per-host kernel recovers the rule structs from rendered text
+    (multi-agent groups, mixed-case fields, comments, crawl-delay/
+    sitemap noise); the oracle reads the PLANTED source rules the
+    fixture rendered FROM — parse gated against truth, not itself."""
+    from conflation_spark.operators.robots import parse_robots
+
+    txt = spark.read.parquet(f"{_robots_dir(sf_dir)}/robots_txt.parquet")
+    return parse_robots(txt)
+
+
+def _q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-permission decisions for agent 'graftbot'
+    (operators/robots.url_allowed): exact-agent-else-star rule
+    selection, longest-prefix wins, allow breaks ties — encoded as one
+    broadcast host join + an integer-MAX per URL (score
+    2*len(prefix)+is_allow); the DuckDB twin replays the same scoring
+    over the planted rules."""
+    from conflation_spark.operators.robots import parse_robots, url_allowed
+
+    rd = _robots_dir(sf_dir)
+    rules = parse_robots(spark.read.parquet(f"{rd}/robots_txt.parquet"))
+    urls = spark.read.parquet(f"{rd}/robots_urls.parquet")
+    return url_allowed(urls, rules, "graftbot")
 
 
 def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1638,6 +1671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_embeddings": _q_doc_embeddings,
         "flac_spectrum": _q_flac_spectrum,
         "triangle_counts": _q_triangle_counts,
+        "robots_rules": _q_robots_rules,
+        "robots_allowed": _q_robots_allowed,
     }
 
 
@@ -1771,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
     wd = _warc_dir("/root/testdata/sf0.01")
     hd = _h264_dir("/root/testdata/sf0.01")
     fd = _flac_dir("/root/testdata/sf0.01")
+    rd = _robots_dir("/root/testdata/sf0.01")
     from conflation_spark.operators.corpus import (
         URL_HOST_RE as _URL_HOST_RE,
         URL_PATH_RE as _URL_PATH_RE,
@@ -2280,6 +2316,35 @@ SELECT media_ref, true_sample_rate AS sample_rate,
        true_n_samples AS n_samples, true_n_channels AS n_channels,
        {", ".join(f"a{i} AS a{i}" for i in range(16))}
 FROM read_parquet('{fd}/flac_blobs.parquet')
+""",
+        # robots: parse gated against the PLANTED source rules; the
+        # decision twin replays the longest-prefix/allow-wins scoring
+        "robots_rules": f"""
+SELECT host, agent, rule_type, path, rule_order
+FROM read_parquet('{rd}/robots_rules.parquet')
+""",
+        "robots_allowed": f"""
+WITH r AS (SELECT * FROM read_parquet('{rd}/robots_rules.parquet')),
+hs AS (SELECT host, max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS has_s
+       FROM r GROUP BY 1),
+eff AS (
+  SELECT r.host, r.path AS rpath, r.rule_type
+  FROM r JOIN hs ON hs.host = r.host
+  WHERE (hs.has_s = 1 AND r.agent = 'graftbot')
+     OR (hs.has_s = 0 AND r.agent = '*')
+),
+u AS (SELECT url, host, path FROM read_parquet('{rd}/robots_urls.parquet')),
+m AS (
+  SELECT u.url,
+         length(e.rpath) * 2
+           + CASE WHEN e.rule_type = 'allow' THEN 1 ELSE 0 END AS score
+  FROM u LEFT JOIN eff e
+    ON u.host = e.host AND starts_with(u.path, e.rpath)
+),
+b AS (SELECT url, max(score) AS best FROM m GROUP BY 1)
+SELECT url,
+       CAST(CASE WHEN best IS NULL OR best % 2 = 1 THEN 1 ELSE 0 END AS INT) AS allowed
+FROM b
 """,
         "flac_spectrum": f"""
 SELECT media_ref, true_sample_rate AS sample_rate,

@@ -307,6 +307,122 @@ def ensure_warc_fixture(sf_name: str, root: str | None = None) -> str:
     return out
 
 
+
+
+SF_ROBOTS = {"sf0.001": 30, "sf0.01": 120, "sf0.1": 400, "sf1": 1200}
+
+_ROBOTS_PATHS = [
+    "/", "/private", "/private/data", "/api", "/api/v2", "/img",
+    "/cache", "/search", "/users", "/static/js",
+]
+_ROBOTS_AGENTS = ["graftbot", "otherbot", "megacrawler"]
+
+
+def gen_robots_fixture(out_dir: str, n_hosts: int, seed: int = 61) -> None:
+    """robots.txt fixture with PLANTED rule truth: the generator builds
+    the rule STRUCTS first, then renders the robots.txt text around them
+    (mixed-case fields, multi-agent groups, comments, blank lines,
+    crawl-delay/sitemap noise) — so the ``robots_rules`` oracle gates
+    the parser against the source rules, never against itself, and
+    ``robots_allowed`` derives decisions from the same planted rows in
+    pure SQL. Rendering is lossless for the rule content by
+    construction (prefix paths, no wildcards)."""
+    rng = np.random.default_rng(seed)
+    hosts, texts = [], []
+    rule_rows: list[tuple] = []
+    url_rows: list[tuple] = []
+    for i in range(n_hosts):
+        host = f"h{i:04d}.example.com"
+        lines: list[str] = []
+        order = 0
+        if rng.random() < 0.2:
+            lines.append("# generated robots fixture")
+        for _g in range(int(rng.integers(1, 4))):
+            cand = ["*"] + _ROBOTS_AGENTS
+            ags = list(
+                dict.fromkeys(
+                    str(rng.choice(cand)) for _ in range(int(rng.integers(1, 3)))
+                )
+            )
+            for a in ags:
+                disp = a if a == "*" else (
+                    a.capitalize() if rng.random() < 0.5 else a.upper()
+                )
+                field = "User-agent" if rng.random() < 0.7 else "USER-AGENT"
+                lines.append(f"{field}: {disp}")
+            if rng.random() < 0.3:
+                lines.append(f"Crawl-delay: {int(rng.integers(1, 10))}")
+            for _r in range(int(rng.integers(1, 5))):
+                typ = "allow" if rng.random() < 0.35 else "disallow"
+                p = str(rng.choice(_ROBOTS_PATHS))
+                fld = typ.capitalize() if rng.random() < 0.7 else typ.upper()
+                comment = "  # note" if rng.random() < 0.2 else ""
+                lines.append(f"{fld}: {p}{comment}")
+                for a in ags:
+                    rule_rows.append((host, a.lower(), typ, p, order))
+                order += 1
+            if rng.random() < 0.5:
+                lines.append("")
+        if rng.random() < 0.3:
+            lines.append(f"Sitemap: https://{host}/sitemap.xml")
+        hosts.append(host)
+        texts.append("\n".join(lines) + "\n")
+        for j in range(int(rng.integers(3, 7))):
+            base = str(rng.choice(_ROBOTS_PATHS))
+            suffix = str(rng.choice(["", "/x", "/page.html", "/1", "/deep/leaf"]))
+            path = (base.rstrip("/") + suffix) or "/"
+            url_rows.append((f"https://{host}{path}?u={i}-{j}", host, path))
+    pq.write_table(
+        pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "robots_txt": pa.array(texts, pa.string()),
+        }),
+        os.path.join(out_dir, "robots_txt.parquet"),
+        row_group_size=16,
+    )
+    pq.write_table(
+        pa.table({
+            "host": pa.array([r[0] for r in rule_rows], pa.string()),
+            "agent": pa.array([r[1] for r in rule_rows], pa.string()),
+            "rule_type": pa.array([r[2] for r in rule_rows], pa.string()),
+            "path": pa.array([r[3] for r in rule_rows], pa.string()),
+            "rule_order": pa.array([r[4] for r in rule_rows], pa.int32()),
+        }),
+        os.path.join(out_dir, "robots_rules.parquet"),
+        row_group_size=256,
+    )
+    pq.write_table(
+        pa.table({
+            "url": pa.array([u[0] for u in url_rows], pa.string()),
+            "host": pa.array([u[1] for u in url_rows], pa.string()),
+            "path": pa.array([u[2] for u in url_rows], pa.string()),
+        }),
+        os.path.join(out_dir, "robots_urls.parquet"),
+        row_group_size=64,
+    )
+
+
+def ensure_robots_fixture(sf_name: str, root: str | None = None) -> str:
+    """robots fixture in its own dir with its own marker (same isolation
+    rationale as the WARC/GIF fixtures)."""
+    root = root or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "robots",
+    )
+    if sf_name not in SF_ROBOTS:
+        sf_name = "sf0.01"
+    out = os.path.join(root, sf_name)
+    marker = os.path.join(out, "_SUCCESS_v1")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    gen_robots_fixture(out, SF_ROBOTS[sf_name])
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
 if __name__ == "__main__":
     import sys
 
