@@ -2335,13 +2335,13 @@ eff AS (
 ),
 u AS (SELECT url, host, path FROM read_parquet('{rd}/robots_urls.parquet')),
 m AS (
-  SELECT u.url,
+  SELECT u.url, u.host,
          length(e.rpath) * 2
            + CASE WHEN e.rule_type = 'allow' THEN 1 ELSE 0 END AS score
   FROM u LEFT JOIN eff e
     ON u.host = e.host AND starts_with(u.path, e.rpath)
 ),
-b AS (SELECT url, max(score) AS best FROM m GROUP BY 1)
+b AS (SELECT url, host, max(score) AS best FROM m GROUP BY 1, 2)
 SELECT url,
        CAST(CASE WHEN best IS NULL OR best % 2 = 1 THEN 1 ELSE 0 END AS INT) AS allowed
 FROM b

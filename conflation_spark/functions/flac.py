@@ -461,9 +461,13 @@ def encode_flac(
     if stereo_mode != "auto" and stereo_mode != "independent" and ch != 2:
         raise ValueError(f"stereo_mode={stereo_mode} needs 2 channels")
 
-    md5 = hashlib.md5(
-        s.astype(f"<i{(bps + 7) // 8}" if bps in (8, 16, 32) else "<i2").tobytes()
-    ).digest()
+    # STREAMINFO MD5 is the packed-sample digest; for widths numpy cannot
+    # pack natively (e.g. 24-bit) write the spec's "unset" all-zeros value
+    # instead of a wrong digest a conforming decoder would reject
+    if bps in (8, 16, 32):
+        md5 = hashlib.md5(s.astype(f"<i{bps // 8}").tobytes()).digest()
+    else:
+        md5 = b"\x00" * 16
     # STREAMINFO
     si = _BitWriter()
     si.write(block_size, 16)
@@ -709,7 +713,8 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     chans_out = [[] for _ in range(n_ch)]
     got = 0
     frame_idx = 0
-    while got < total:
+    # total_samples == 0 means UNKNOWN (RFC 9639): decode frames to EOF
+    while (got < total) if total else (br.pos < br.bits.size):
         frame_start = br.byte_pos
         if br.read(14) != 0b11111111111110:
             raise ValueError("corrupt FLAC: lost frame sync")
@@ -794,8 +799,10 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
             chans_out[c].append(subs[c])
         got += bs
         frame_idx += 1
-    if got != total:
+    if total and got != total:
         raise ValueError("corrupt FLAC: decoded sample count != STREAMINFO total")
+    if got == 0:
+        raise ValueError("corrupt FLAC: stream contains no audio frames")
     out = np.stack(
         [np.concatenate(c) for c in chans_out], axis=1
     ).astype(np.int32)

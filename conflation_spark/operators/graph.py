@@ -151,8 +151,20 @@ def triangle_count(
     symmetric wedge duplicate). All joins are equi-joins on node ids /
     id pairs — shuffle-partitioned, no cartesian anywhere. Counts are
     exact integers: bit-equal at any parallelism and in the DuckDB
-    twin (`triangle_counts` oracle row)."""
-    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).distinct()
+    twin (`triangle_counts` oracle row).
+
+    Input robustness: pairs are canonicalized (least/greatest) before
+    the distinct, so a SYMMETRIZED edge list — both (a,b) and (b,a),
+    e.g. the form pagerank builds — and self-loops cannot inflate
+    degrees or duplicate oriented edges."""
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
     deg = (
         e.select(F.col("a").alias("id"))
         .unionAll(e.select(F.col("b").alias("id")))

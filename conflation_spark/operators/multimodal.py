@@ -212,7 +212,12 @@ def extract_audio_spectrum(blobs: DataFrame, decoder=None) -> DataFrame:
             )
 
     auds = blobs.where(F.col("media_kind") == "audio").select("media_ref", "content")
-    return auds.mapInPandas(
+    # same explicit-count hash spread as the H.264 stage (CLAUDE.md blob
+    # -kernel rule): compressed audio decode (FLAC's per-sample LPC loop)
+    # is CPU-bound while the blobs fit one scan split, and repartition(col)
+    # alone gets AQE-coalesced back into a single decode task
+    n_dec = 2 * auds.sparkSession.sparkContext.defaultParallelism
+    return auds.repartition(n_dec, F.col("media_ref")).mapInPandas(
         op,
         schema="media_ref string, sample_rate int, n_fft_frames int, feature array<double>",
     )
@@ -236,7 +241,14 @@ def extract_audio_features(blobs: DataFrame, decoder=None) -> DataFrame:
             )
 
     auds = blobs.where(F.col("media_kind") == "audio").select("media_ref", "content")
-    return auds.mapInPandas(op, schema=AUDIO_FEATURE_SCHEMA)
+    # explicit-count hash spread (CLAUDE.md blob-kernel rule): with the
+    # injected FLAC decoder the kernel is CPU-bound while the compressed
+    # blobs fit one scan split — without the explicit count AQE coalesces
+    # the decode back into a single task
+    n_dec = 2 * auds.sparkSession.sparkContext.defaultParallelism
+    return auds.repartition(n_dec, F.col("media_ref")).mapInPandas(
+        op, schema=AUDIO_FEATURE_SCHEMA
+    )
 
 
 VIDEO_FRAME_SCHEMA = (

@@ -105,8 +105,10 @@ def url_allowed(
 ) -> DataFrame:
     """(url, allowed 0/1) for ``agent`` under the REP decision rules.
     One broadcast hash-join on host (prefix test as the residual
-    condition) + one integer-MAX aggregation per URL — no window, no
-    per-row Python."""
+    condition) + one integer-MAX aggregation per (url, host) — no
+    window, no per-row Python. Grouping includes the host so a url
+    string that (pathologically) appears under two hosts gets one
+    decision PER host instead of a cross-host score merge."""
     a = agent.lower()
     has_spec = rules.groupBy("host").agg(
         F.max((F.col("agent") == a).cast("int")).alias("has_s")
@@ -133,7 +135,7 @@ def url_allowed(
         F.length("_rpath") * 2 + (F.col("_rtype") == "allow").cast("int")
     ).cast("long")
     return (
-        joined.groupBy(url_col)
+        joined.groupBy(url_col, host_col)
         .agg(F.max(score).alias("_best"))
         .select(
             url_col,

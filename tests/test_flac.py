@@ -240,3 +240,27 @@ def test_fixture_spectrum_matches_planted_truth(spark):
                 r["media_ref"],
                 i,
             )
+
+
+def test_unknown_total_samples_decodes_to_eof():
+    """STREAMINFO total_samples == 0 means UNKNOWN (RFC 9639): the
+    decoder must consume frames to EOF and return everything."""
+    s = _signal(700, seed=33)
+    blob = bytearray(encode_flac(s, 16000, block_size=256))
+    si = 8  # STREAMINFO body offset
+    blob[si + 13] &= 0xF0  # zero the 36-bit total-samples field
+    for k in range(14, 18):
+        blob[si + k] = 0
+    dec, sr = decode_flac(bytes(blob))
+    assert sr == 16000
+    assert np.array_equal(dec[:, 0], s)
+
+
+def test_unusual_bps_writes_unset_md5():
+    """Widths numpy cannot pack natively must carry the spec's all-zero
+    (unset) MD5 rather than a wrong digest."""
+    s = np.array([1000, -1000, 0, 70000, -70000], dtype=np.int64)
+    blob = encode_flac(s, 16000, bps=24)
+    assert blob[8 + 18 : 8 + 34] == b"\x00" * 16
+    dec, _ = decode_flac(blob)
+    assert dec[:, 0].tolist() == s.tolist()

@@ -170,3 +170,11 @@ def test_triangle_count_partition_invariant(spark):
     a = sorted(map(tuple, triangle_count(pairs3, nodes).collect()))
     b = sorted(map(tuple, triangle_count(pairs1, nodes).collect()))
     assert a == b
+
+
+def test_triangle_count_robust_to_symmetrized_input(spark):
+    """A symmetrized edge list (both orientations, the pagerank form)
+    and self-loops must not inflate counts."""
+    tri = [("a", "b"), ("a", "c"), ("b", "c")]
+    sym = tri + [(b, a) for a, b in tri] + [("a", "a")]
+    assert _tri_df(spark, sym, "abc") == {v: 1 for v in "abc"}

@@ -139,3 +139,17 @@ def test_decision_partition_invariant(spark):
     u1 = spark.createDataFrame(urls, "url string, host string, path string").coalesce(1)
     b = sorted(map(tuple, url_allowed(u1, r1, "bot").collect()))
     assert a == b
+
+
+def test_duplicate_url_across_hosts_gets_per_host_decisions(spark):
+    """The same url string under two hosts must not merge scores
+    cross-host: one decision row per (url, host)."""
+    rules = [
+        ("h1", "*", "disallow", "/x", 0),
+        ("h2", "*", "allow", "/x", 0),
+    ]
+    urls = [("same", "h1", "/x/y"), ("same", "h2", "/x/y")]
+    r = spark.createDataFrame(rules, "host string, agent string, rule_type string, path string, rule_order int")
+    u = spark.createDataFrame(urls, "url string, host string, path string")
+    rows = sorted(map(tuple, url_allowed(u, r, "bot").collect()))
+    assert rows == [("same", 0), ("same", 1)]
