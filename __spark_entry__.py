@@ -1226,6 +1226,12 @@ def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.where(F.col("c_mktsegment") == "BUILDING")
         .join(o, F.col("c_custkey") == F.col("o_custkey"))
         .where(F.col("o_orderdate") < F.lit("1995-03-15"))
+        # guide §3.1: lineitem's pruned-column size estimate slips under
+        # the session broadcast threshold and the planner broadcasts the
+        # MILLIONS-of-rows side (single-threaded driver hash build was
+        # the dominant cost). Build the hash from the much smaller
+        # filtered customer x orders side instead; lineitem streams.
+        .hint("shuffle_hash")
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .where(F.col("l_shipdate") > F.lit("1995-03-15"))
     )
@@ -1248,6 +1254,12 @@ def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.join(n, F.col("n_regionkey") == F.col("r_regionkey"))
         .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        # guide §3.1: without the hint the planner BROADCASTS lineitem
+        # (its 3-column size estimate is under the threshold) and the
+        # driver single-threadedly builds a hash over the biggest table.
+        # Shuffled-hash with the region->orders side as build keeps the
+        # big side streaming and partitions the build.
+        .hint("shuffle_hash")
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
     )
     return j.groupBy("r_name", "n_name").agg(

@@ -83,10 +83,15 @@ def minhash_signatures(
     hashes — inlines and RE-EVALUATES the whole array; with 64 hashes x
     ~60 shingles x 16 bands that was ~60x redundant work.)
     """
+    from conflation_spark.operators.spread import spread_scan
+
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE, size=n_hashes, dtype=np.int64)
     b = rng.integers(0, MERSENNE, size=n_hashes, dtype=np.int64)
-    sh = df.select(
+    # spread on id: the explode runs on every core instead of inside a
+    # single sub-split-size scan task, and the groupBy(id) below reuses
+    # the hash(id) distribution (rule 10) — no second exchange
+    sh = spread_scan(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("g"),
     ).withColumn("h", F.pmod(F.xxhash64("g"), F.lit(MERSENNE)))
@@ -198,6 +203,10 @@ def minhash_lsh_pairs(
     banded = _minhash_banded(df, id_col, text_col, n_hashes, bands, shingle_k)
     if max_bucket_size is not None:
         banded = drop_hot_buckets(banded, ["band_idx", "band_hash"], max_bucket_size)
+    # both self-join sides reference the band table and Catalyst does not
+    # CSE across subtrees — materialize the (id, band_idx, band_hash)
+    # proxy rows once (guide §8) instead of hashing the corpus twice
+    banded = banded.localCheckpoint(eager=True)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -236,7 +245,9 @@ def ngram_jaccard_pairs(
     exceeds the cap. The DuckDB oracle applies the same cap, so the gate
     checks the capped semantics exactly.
     """
-    sh = df.select(
+    from conflation_spark.operators.spread import spread_scan
+
+    sh = spread_scan(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("g")
     )
     if max_doc_freq is not None:
@@ -246,6 +257,14 @@ def ngram_jaccard_pairs(
             .where(F.col("_df") <= max_doc_freq)
             .drop("_df")
         )
+    # The (id, g) shingle table feeds FOUR plan subtrees (both self-join
+    # sides + both size lookups) and Catalyst does not CSE across
+    # subtrees: without materialization the explode + doc-freq window
+    # re-evaluates four times per execution (measured 4 Generate+Window
+    # chains in the r6 before-plan). One eager localCheckpoint is the
+    # guide-§8 "decision pass": materialize the lightweight proxy rows
+    # once, then every downstream decision reads the materialized form.
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from conflation_spark.operators.cluster import connected_components
 from conflation_spark.operators.dedup import _minhash_banded, drop_hot_buckets
+from conflation_spark.operators.spread import local_df
 
 BAND_BUCKETS = 16
 
@@ -114,7 +115,12 @@ def checkpoint_band_table(
     if max_bucket_size is not None:
         banded = drop_hot_buckets(banded, ["band_idx", "band_hash"], max_bucket_size)
     (
-        banded.write.format("parquet")
+        # repartition on the bucket key first: without it every write task
+        # opens a file per bucket it sees (tasks x buckets small files +
+        # a per-task sort); aligned, each task holds exactly one bucket
+        # (guide §6 output sizing — measured 2.7x faster at r6 baseline)
+        banded.repartition(n_buckets, F.col("band_hash"))
+        .write.format("parquet")
         .mode(mode)
         .bucketBy(n_buckets, "band_hash")
         .sortBy("band_hash")
@@ -170,6 +176,10 @@ def incremental_minhash_pairs(
     d = _minhash_banded(delta, id_col, text_col, n_hashes, bands, shingle_k)
     if max_bucket_size is not None:
         d = drop_hot_buckets(d, ["band_idx", "band_hash"], max_bucket_size)
+    # the delta band table feeds THREE join subtrees (delta x delta both
+    # sides + delta x corpus) — materialize the proxy rows once instead
+    # of re-hashing the delta three times (no Catalyst CSE across trees)
+    d = d.localCheckpoint(eager=True)
     corpus = spark.table(corpus_table)
     dd_a, dd_b = d.alias("a"), d.alias("b")
     delta_delta = dd_a.join(
@@ -228,7 +238,9 @@ def checkpoint_emb_band_table(
         .select("id", F.posexplode("bands").alias("band_idx", "band_val"))
     )
     (
-        banded.write.format("parquet")
+        # one task per bucket on the write (see checkpoint_band_table)
+        banded.repartition(n_buckets, F.col("band_val"))
+        .write.format("parquet")
         .mode(mode)
         .bucketBy(n_buckets, "band_val")
         .sortBy("band_val")
@@ -373,14 +385,16 @@ def checkpoint_ivf_index(
         .select("id", "vec", F.col("_a.list_id").alias("list_id"), F.col("_a.d2").alias("d2"))
     )
     (
-        idx.write.format("parquet")
+        # one task per bucket on the write (see checkpoint_band_table)
+        idx.repartition(n_buckets, F.col("list_id"))
+        .write.format("parquet")
         .mode("overwrite")
         .bucketBy(n_buckets, "list_id")
         .sortBy("list_id")
         .saveAsTable(table_name)
     )
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
-    spark.createDataFrame(cent_rows, "list_id long, centroid array<double>").coalesce(
+    local_df(spark, cent_rows, "list_id long, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").saveAsTable(f"{table_name}_centroids")
     p95 = (
@@ -390,7 +404,8 @@ def checkpoint_ivf_index(
     )
     # empty corpus: percentile is NULL; store 0.0 (any delta distance
     # then reads as drift, which is the right signal for an empty index)
-    spark.createDataFrame(
+    local_df(
+        spark,
         [("d2_p95", float(p95) if p95 is not None else 0.0)],
         "metric string, value double",
     ).coalesce(1).write.mode("overwrite").saveAsTable(f"{table_name}_stats")
@@ -443,7 +458,8 @@ def incremental_ivf_assign(
     if append:
         n_buckets = _table_num_buckets(spark, table_name, BAND_BUCKETS)
         (
-            d.write.format("parquet")
+            d.repartition(n_buckets, F.col("list_id"))
+            .write.format("parquet")
             .mode("append")
             .bucketBy(n_buckets, "list_id")
             .sortBy("list_id")
@@ -531,8 +547,8 @@ def incremental_ivf_topk(
         for i in range(len(qids))
         for li in order[i]
     ]
-    qp = spark.createDataFrame(
-        probe_rows, "query_id string, qvec array<double>, list_id long"
+    qp = local_df(
+        spark, probe_rows, "query_id string, qvec array<double>, list_id long"
     )
     lists = sorted({int(li) for row in order for li in row})
     idx = spark.table(table_name).where(F.col("list_id").isin(lists))
@@ -680,7 +696,7 @@ def incremental_pca_update(
         .agg(F.sum("val").alias("val"))
     )
     rows = [(int(r["idx"]), float(r["val"])) for r in merged.collect()]
-    spark.createDataFrame(rows, "idx int, val double").coalesce(1).write.mode(
+    local_df(spark, rows, "idx int, val double").coalesce(1).write.mode(
         "overwrite"
     ).saveAsTable(table_name)
     return spark.table(table_name)

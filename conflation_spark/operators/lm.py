@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from conflation_spark.operators.dedup import normalized
+from conflation_spark.operators.spread import local_df
 from conflation_spark.operators.sketch import KMV_HASH_SPACE
 
 CLASSIFIER_SALT = "ft"  # feature-hash salt, shared verbatim with the oracle
@@ -269,7 +270,7 @@ def lm_cross_entropy(
     table, oov_lp_c = unigram_lm_table(
         ref_df if ref_df is not None else df, text_col, vocab_k, alpha
     )
-    lp_table = spark.createDataFrame(table, "tok string, lp_c long")
+    lp_table = local_df(spark, table, "tok string, lp_c long")
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(_toks(F.col(text_col))).alias("tok")
     )
@@ -432,7 +433,7 @@ def bigram_lm_tables(
         )
         bi_rows = bi_cnt.collect()
         prevs = sorted({r["prev"] for r in bi_rows})
-        prev_df = spark.createDataFrame([(p,) for p in prevs], "tok string")
+        prev_df = local_df(spark, [(p,) for p in prevs], "tok string")
         c1 = {
             r["tok"]: r["c"]
             for r in cnt.join(F.broadcast(prev_df), "tok").collect()
@@ -479,8 +480,8 @@ def bigram_cross_entropy(
     uni_table, oov_lp_c, bi_table, backoff_c = bigram_lm_tables(
         ref_df if ref_df is not None else df, text_col, vocab_k, bigram_k, alpha
     )
-    uni = spark.createDataFrame(uni_table, "tok string, u_lp_c long")
-    bi = spark.createDataFrame(bi_table, "prev string, tok string, b_lp_c long")
+    uni = local_df(spark, uni_table, "tok string, u_lp_c long")
+    bi = local_df(spark, bi_table, "prev string, tok string, b_lp_c long")
     toks = _toks(F.col(text_col))
     sz = F.size(toks)
     pairs = F.arrays_zip(

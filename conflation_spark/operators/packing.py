@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from conflation_spark.operators.spread import local_df
+
 
 def chunk_documents(
     df: DataFrame,
@@ -153,8 +155,8 @@ def pack_sequences(
         run += r["_tot"] or 0
     spark = df.sparkSession
     off_df = F.broadcast(
-        spark.createDataFrame(
-            [(k, int(v)) for k, v in offsets.items()], "_bkt string, _off long"
+        local_df(
+            spark, [(k, int(v)) for k, v in offsets.items()], "_bkt string, _off long"
         )
     )
     g = local.join(off_df, "_bkt")

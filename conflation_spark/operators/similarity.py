@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from conflation_spark.operators.spread import local_df
+
 from conflation_spark.functions.kernels import (
     hyperplane_signature,
     lsh_planes,
@@ -600,7 +602,8 @@ def ivf_pq_topk(
     qd2 = ((qmat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
     probe_lists = np.argsort(qd2, axis=1, kind="stable")[:, :n_probe]
     spark = embeddings.sparkSession
-    probes = spark.createDataFrame(
+    probes = local_df(
+        spark,
         [(str(qids[i]), int(li)) for i in range(len(qids)) for li in probe_lists[i]],
         "query_id string, list_id long",
     )
