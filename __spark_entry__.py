@@ -496,24 +496,30 @@ def _q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental PCA (operators/incremental): checkpoint the corpus
-    slice's moment aggregates (sums — the sufficient statistic), fold
-    the delta slice in with a delta-only scan, and emit the covariance
-    straight from the stored moments. Because moments are plain sums,
-    the end state equals the one-shot computation over the full table —
-    the oracle is the SAME covariance SQL as embedding_pca."""
-    from conflation_spark.operators.incremental import (
-        checkpoint_pca_moments,
-        incremental_pca_covariance,
-        incremental_pca_update,
-    )
+    """Incremental PCA: the corpus slice's moment aggregates (sums — the
+    sufficient statistic) merged with a delta-only scan's moments, and
+    the covariance emitted straight from the merged moments. This is the
+    incremental fold of ``operators/incremental.incremental_pca_update``
+    expressed as a PURE LAZY PLAN (union + per-idx sum — numerically the
+    same two addends per index as the table round-trip): the r5-advised
+    fix for the eager per-call ``saveAsTable`` side effects, which both
+    broke concurrent harnesses (fixed-name shared table) and paid two
+    catalog writes per timed call. The table-checkpoint path itself stays
+    exercised by tests/test_incremental.py. Because moments are plain
+    sums, the end state equals the one-shot computation over the full
+    table — the oracle is the SAME covariance SQL as embedding_pca."""
+    from conflation_spark.operators.pca import embedding_moments, moments_to_covariance
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     corpus = emb.where(F.col("vec_id") % 5 != 0)
     delta = emb.where(F.col("vec_id") % 5 == 0)
-    checkpoint_pca_moments(corpus, "oracle_pca_mom", "embedding", 64)
-    incremental_pca_update(spark, "oracle_pca_mom", delta, "embedding", 64)
-    return incremental_pca_covariance(spark, "oracle_pca_mom", 64)
+    merged = (
+        embedding_moments(corpus, "embedding", 64)
+        .unionByName(embedding_moments(delta, "embedding", 64))
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+    )
+    return moments_to_covariance(merged, 64)
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

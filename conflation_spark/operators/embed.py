@@ -83,10 +83,16 @@ def embed_documents(
     """(id, embedding array<double>) unit vectors, one row per document
     with at least one token and a nonzero raw projection (empty docs are
     dropped, matching the SQL twin's natural semantics)."""
+    from conflation_spark.operators.spread import spread_scan
+
     counts = (
-        docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        # spread BEFORE the explode: on a sub-split-size local source the
+        # token md5 hashing (the dominant per-row cost) otherwise runs in
+        # a handful of scan tasks; at scale the guard is a no-op and the
+        # groupBys shuffle map-side partials as usual (guide §2.3)
+        spread_scan(docs, id_col)
+        .select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
         .withColumn("bucket", bucket_col(F.col("tok"), buckets))
-        .repartition(id_col)  # rule 10: both groupBys below reuse hash(id)
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("cnt"))
         .groupBy(id_col)
@@ -94,24 +100,47 @@ def embed_documents(
     )
     proj = projection_matrix(buckets, dim, seed)
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, vecs = [], []
-            for did, bc in zip(pdf[id_col], pdf["bc"]):
-                idx = np.fromiter((r["bucket"] for r in bc), dtype=np.int64)
-                cnt = np.fromiter((r["cnt"] for r in bc), dtype=np.int64)
-                raw = proj[idx].astype(np.int64).T @ cnt  # exact ints
-                ss = int(raw @ raw)
-                if ss == 0:
-                    continue
-                ids.append(did)
-                vecs.append((raw / np.sqrt(float(ss))).tolist())
-            yield pd.DataFrame({id_col: ids, "embedding": vecs})
+    def kernel(batches):
+        # mapInArrow: the array<struct> column arrives as a ListArray over
+        # a StructArray — flatten + one segmented gather-matmul per batch
+        # (np.add.reduceat over per-doc segments) instead of a Python loop
+        # over rows. Same exact integer raw sums + IEEE normalize as the
+        # per-row form, so outputs stay bit-identical (parity-tested).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            ids = rb.column(0)
+            la = rb.column(1)
+            n = len(ids)
+            if n == 0:
+                continue
+            lens = pc.list_value_length(la).to_numpy().astype(np.int64)
+            flat = la.flatten()
+            idx = flat.field("bucket").to_numpy().astype(np.int64)
+            cnt = flat.field("cnt").to_numpy().astype(np.int64)
+            contrib = proj[idx].astype(np.int64) * cnt[:, None]
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            # collect_list groups are never empty -> strictly increasing
+            raw = np.add.reduceat(contrib, starts, axis=0)
+            ss = (raw * raw).sum(axis=1)
+            mask = ss != 0
+            m = int(mask.sum())
+            if m == 0:
+                continue
+            vecs = raw[mask] / np.sqrt(ss[mask].astype(np.float64))[:, None]
+            out_ids = ids.filter(pa.array(mask))
+            emb = pa.ListArray.from_arrays(
+                pa.array(np.arange(m + 1, dtype=np.int32) * raw.shape[1]),
+                pa.array(vecs.ravel(), type=pa.float64()),
+            )
+            yield pa.RecordBatch.from_arrays([out_ids, emb], [id_col, "embedding"])
 
     schema = f"{id_col} string, embedding array<double>"
     return counts.select(
         F.col(id_col).cast("string").alias(id_col), "bc"
-    ).mapInPandas(kernel, schema=schema)
+    ).mapInArrow(kernel, schema=schema)
 
 
 def embedding_entries(emb: DataFrame, id_col: str, scale: int = 1_000_000) -> DataFrame:

@@ -197,7 +197,12 @@ def range_join_bucketed(
     lt = left.withColumn(
         "_bucket", F.floor(F.col(left_ts) / bucket_width).cast("long")
     )
-    out = lt.join(r, [*key_cols, "_bucket"]).where(
+    # guide §3.1: the exploding Generate defeats size estimation and the
+    # planner has been observed broadcasting the FULL left/events side
+    # instead; a shuffled-hash join on (key, bucket) with the interval
+    # side as build is the scale-safe shape (per-partition build, big
+    # side streams)
+    out = lt.join(r.hint("shuffle_hash"), [*key_cols, "_bucket"]).where(
         (F.col(left_ts) >= F.col(f"{prefix}{start_col}"))
         & (F.col(left_ts) <= F.col(f"{prefix}{end_col}"))
     )

@@ -265,6 +265,13 @@ def interval_enrich(
     )
     for k in key_cols:
         cond = cond & (F.col(k) == F.col(f"_rk_{k}"))
+    if not left.isStreaming and not right.isStreaming:
+        # batch twin only (a streaming run plans its own symmetric hash
+        # join): without the hint the planner has been observed
+        # BROADCASTING the full left/events side off a bad estimate;
+        # shuffled-hash on the key with the interval side as build keeps
+        # the big side streaming (guide §3.1)
+        r = r.hint("shuffle_hash")
     return l.join(r, cond, "inner").drop(*[f"_rk_{k}" for k in key_cols])
 
 
