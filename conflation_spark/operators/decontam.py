@@ -84,7 +84,12 @@ def decontaminate(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    ex = docs.select(
+    from conflation_spark.operators.spread import spread_scan
+
+    # spread the corpus scan before the gram explosion (serialized into
+    # one task on a sub-split-size local source; no-op at scale) — the
+    # final groupBy(_id) then reuses the hash(id) distribution (rule 10)
+    ex = spread_scan(docs, id_col).select(
         F.col(id_col).alias("_id"), F.explode(ngram_set(F.col(text_col), n)).alias("_gram")
     )
     joined = ex.join(F.broadcast(bench_grams), "_gram", "left")

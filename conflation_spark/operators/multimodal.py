@@ -155,7 +155,13 @@ def extract_image_features(blobs: DataFrame, decoder=None) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_ref", "width", "height", "feature"])
 
     imgs = blobs.where(F.col("media_kind") == "image").select("media_ref", "content")
-    return imgs.mapInPandas(op, schema=IMAGE_FEATURE_SCHEMA)
+    # the decode-stage lesson (see extract_compressed_video_frames): blob
+    # files fit one scan split, so without an EXPLICIT-count repartition
+    # the pure-Python decode runs serially in 1-2 scan tasks
+    n_dec = 2 * imgs.sparkSession.sparkContext.defaultParallelism
+    return imgs.repartition(n_dec, F.col("media_ref")).mapInPandas(
+        op, schema=IMAGE_FEATURE_SCHEMA
+    )
 
 
 def decode_audio(content: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -346,7 +352,11 @@ def resize_images(blobs: DataFrame, max_side: int = RESIZE_MAX_SIDE, decoder=Non
             )
 
     imgs = blobs.where(F.col("media_kind") == "image").select("media_ref", "content")
-    return imgs.mapInPandas(op, schema=RESIZE_SCHEMA)
+    # explicit-count decode repartition (see extract_image_features)
+    n_dec = 2 * imgs.sparkSession.sparkContext.defaultParallelism
+    return imgs.repartition(n_dec, F.col("media_ref")).mapInPandas(
+        op, schema=RESIZE_SCHEMA
+    )
 
 
 H264_FRAME_SCHEMA = (

@@ -103,6 +103,12 @@ def kmv_sketch(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    from conflation_spark.operators.spread import spread_scan
+
+    # the md5 hashing is the per-row cost; spread a sub-split-size scan
+    # so it is not serialized into a handful of scan tasks (no-op on
+    # real multi-file tables)
+    df = spread_scan(df)
     h = kmv_hash(F.col(key_col))
     if group_cols:
         base = df.select(*group_cols, h.alias("_h")).distinct()
