@@ -35,7 +35,13 @@ coefficients) are a prefix-free completion verified by
 tests/test_h264.py's exhaustive prefix audit rather than cross-checked
 against a reference decoder (none exists in this container). Encoder
 and decoder share one table, so round-trip exactness never depends on
-that tail.
+that tail. A decode-time reject of those nine codewords was considered
+(r6) and NOT added: the synthetic fixtures measurably reach the tail
+(~1 in 24k context-1 reads), so a fence would reject this encoder's own
+streams; and re-transcribing the values would change every emitted
+bitstream (fixture truth + gated query outputs), which an optimization
+round must not do. External conforming streams hitting that region
+remain the documented risk.
 
 Reference context: the conflation reference never decodes media — every
 trace point is an image id fetched from an external service
@@ -968,7 +974,7 @@ def _parse_slice_header(br: BitReader, sps: dict, pps: dict, idr: bool) -> dict:
     slice_type = br.ue()
     if slice_type % 5 != 2:  # 2/7 = I
         raise ValueError(f"unsupported H.264 feature: slice_type {slice_type} (P/B/SI/SP)")
-    br.ue()  # pic_parameter_set_id (single-PPS streams; already bound)
+    br.ue()  # pic_parameter_set_id (the caller peeked it and bound `pps`)
     br.bits(sps["log2_max_frame_num"])  # frame_num
     if idr:
         br.ue()  # idr_pic_id
@@ -1029,9 +1035,21 @@ class _Picture:
         return top, left
 
 
-def _decode_mb(br: BitReader, pic: _Picture, mbx: int, mby: int, slice_idx: int, qp: int) -> int:
+def _decode_mb(
+    br: BitReader,
+    pic: _Picture,
+    mbx: int,
+    mby: int,
+    slice_idx: int,
+    qp: int,
+    cqp_off: int = 0,
+) -> int:
     """Decode one macroblock into the picture; returns the (possibly
-    updated) luma QP carried to the next MB."""
+    updated) luma QP carried to the next MB. ``cqp_off`` is the PPS's
+    chroma_qp_index_offset, applied per spec 8.5.8 (qPI clipped to
+    [0, 51] before the QPc table) — previously parsed but silently
+    ignored, which mis-decoded chroma for conforming streams with a
+    nonzero offset (r5 advice, medium)."""
     pic.slice_map[mby, mbx] = slice_idx
     mb_type = br.ue()
     if mb_type == 25:  # I_PCM
@@ -1056,7 +1074,7 @@ def _decode_mb(br: BitReader, pic: _Picture, mbx: int, mby: int, slice_idx: int,
     cbp_luma = 15 if t >= 12 else 0
     chroma_mode = br.ue()
     qp = (qp + br.se() + 52) % 52
-    qpc = _QPC[min(max(qp, 0), 51)]
+    qpc = _QPC[min(max(qp + cqp_off, 0), 51)]
 
     sm = pic.slice_map
     # luma DC: nC context of luma4x4BlkIdx 0
@@ -1336,9 +1354,23 @@ def decode_h264(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, i
         elif nal_type in (1, 5):
             if not sps_by_id or not pps_by_id:
                 raise ValueError("corrupt H.264 stream: slice before SPS/PPS")
-            # single-SPS/PPS streams (the envelope we emit): bind to id 0
-            pps = pps_by_id.get(0) or next(iter(pps_by_id.values()))
-            sps = sps_by_id.get(pps["sps_id"]) or next(iter(sps_by_id.values()))
+            # bind to the PPS the slice header actually references (r5
+            # advice: binding to id 0 silently mis-decoded multi-PPS
+            # streams): peek first_mb / slice_type / pic_parameter_set_id
+            # — the full header parse below re-reads and validates them
+            peek = BitReader(rbsp)
+            peek.ue()
+            peek.ue()
+            pps = pps_by_id.get(peek.ue())
+            if pps is None:
+                raise ValueError(
+                    "corrupt H.264 stream: slice references an undefined PPS"
+                )
+            sps = sps_by_id.get(pps["sps_id"])
+            if sps is None:
+                raise ValueError(
+                    "corrupt H.264 stream: PPS references an undefined SPS"
+                )
             br = BitReader(rbsp)
             sh = _parse_slice_header(br, sps, pps, nal_type == 5)
             if sh["first_mb"] != 0:
@@ -1355,7 +1387,13 @@ def decode_h264(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, i
                         f"truncated H.264 stream: slice ended at MB {mb_idx}/{n_mbs}"
                     )
                 qp = _decode_mb(
-                    br, pic, mb_idx % sps["mb_w"], mb_idx // sps["mb_w"], slice_counter, qp
+                    br,
+                    pic,
+                    mb_idx % sps["mb_w"],
+                    mb_idx // sps["mb_w"],
+                    slice_counter,
+                    qp,
+                    pps["chroma_qp_off"],
                 )
             if br.more_rbsp_data():
                 raise ValueError("corrupt H.264 stream: trailing data after last MB")

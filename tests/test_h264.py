@@ -256,3 +256,70 @@ def test_stream_is_annex_b_with_sps_pps_idr():
     sps = H._parse_sps(H._unescape_rbsp(H._split_nals(bs2)[0][1:]))
     assert (sps["width"], sps["height"]) == (44, 18)
     assert (sps["mb_w"], sps["mb_h"]) == (3, 2)
+
+
+def _pps_rbsp(pps_id: int, qp: int, cqp_off: int) -> bytes:
+    """A PPS RBSP with explicit id / init QP / chroma_qp_index_offset —
+    the knobs the encoder never varies (it always writes id 0, offset 0),
+    used to exercise the decoder's PPS-binding and chroma-offset paths."""
+    bw = H.BitWriter()
+    bw.ue(pps_id)
+    bw.ue(0)  # seq_parameter_set_id
+    bw.bit(0)  # entropy_coding_mode_flag = CAVLC
+    bw.bit(0)  # bottom_field_pic_order_in_frame_present_flag
+    bw.ue(0)  # num_slice_groups_minus1
+    bw.ue(0)  # num_ref_idx_l0_default_active_minus1
+    bw.ue(0)  # num_ref_idx_l1_default_active_minus1
+    bw.bit(0)  # weighted_pred_flag
+    bw.bits(0, 2)  # weighted_bipred_idc
+    bw.se(qp - 26)
+    bw.se(0)  # pic_init_qs_minus26
+    bw.se(cqp_off)
+    bw.bit(1)  # deblocking_filter_control_present_flag
+    bw.bit(0)  # constrained_intra_pred_flag
+    bw.bit(0)  # redundant_pic_cnt_present_flag
+    bw.rbsp_trailing()
+    return bw.getvalue()
+
+
+def _replace_pps(stream: bytes, rbsp: bytes) -> bytes:
+    """Swap the single PPS NAL of an encoder-produced stream."""
+    out = bytearray()
+    for nal in H._split_nals(stream):
+        nal_type = nal[0] & 0x1F
+        if nal_type == 8:
+            H._write_nal(out, 3, 8, rbsp)
+        else:
+            out += b"\x00\x00\x00\x01" + nal
+    return bytes(out)
+
+
+def test_chroma_qp_index_offset_applied():
+    """A conforming stream with nonzero chroma_qp_index_offset must
+    dequantize chroma at QPc(qp + offset), not QPc(qp) — r5 advice:
+    the offset was parsed but silently ignored."""
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(1, 32, 32), dtype=np.uint8)
+    stream = encode_h264(frames, qp=24)
+    base_y, base_u, base_v, _, _ = decode_h264(stream)
+    # offset 0 rewrite is a no-op: bit-identical planes
+    same = _replace_pps(stream, _pps_rbsp(0, 24, 0))
+    y0, u0, v0, _, _ = decode_h264(same)
+    assert np.array_equal(y0, base_y) and np.array_equal(u0, base_u)
+    # +6 shifts QPc by 6 -> chroma dequantizes coarser; luma untouched
+    shifted = _replace_pps(stream, _pps_rbsp(0, 24, 6))
+    y6, u6, v6, _, _ = decode_h264(shifted)
+    assert np.array_equal(y6, base_y)
+    assert not np.array_equal(u6, base_u) or not np.array_equal(v6, base_v)
+
+
+def test_slice_binds_to_referenced_pps():
+    """The slice header's pic_parameter_set_id selects the PPS; a slice
+    referencing an id that was never sent must fail loudly instead of
+    silently binding to whatever PPS exists (r5 advice)."""
+    frames = (np.arange(32 * 32, dtype=np.uint8).reshape(1, 32, 32)) % 251
+    stream = encode_h264(frames, qp=24)
+    # replace PPS id 0 with id 1: the slice still references 0
+    broken = _replace_pps(stream, _pps_rbsp(1, 24, 0))
+    with pytest.raises(ValueError, match="undefined PPS"):
+        decode_h264(broken)
