@@ -412,7 +412,7 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final assignment must equal the from-scratch dedup_clusters — the
     oracle is literally the same recursive min-label CTE over the FULL
     pair graph."""
-    from conflation_spark.operators.cluster import dedup_clusters
+    from conflation_spark.operators.cluster import connected_components
     from conflation_spark.operators.dedup import ngram_jaccard_pairs
     from conflation_spark.operators.incremental import (
         checkpoint_band_table,
@@ -437,9 +437,13 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     corpus_pairs = exact.join(corpus_self_pairs(spark, tbl), ["id_a", "id_b"], "left_semi")
-    labels0 = dedup_clusters(corpus, corpus_pairs, id_col="text_id").select(
-        F.col("text_id").alias("id"), "cluster_id"
-    )
+    # bare CC labels (paired corpus ids only) instead of the full
+    # dedup_clusters assignment: labels0 feeds TWO downstream subtrees
+    # (the contraction join and the final prior join) and each evaluation
+    # re-ran the corpus-wide singleton left-join; unpaired ids fall out
+    # of the final coalesce(cc, prior, id) identically (r6; proven by the
+    # unchanged oracle hash — the recursive CTE over the full pair graph)
+    labels0 = connected_components(corpus_pairs, "id_a", "id_b")
     inc_cands = incremental_minhash_pairs(spark, tbl, delta, "text_id", "text")
     inc_pairs = exact.join(inc_cands, ["id_a", "id_b"], "left_semi")
     cc = incremental_components(inc_pairs, labels0)
