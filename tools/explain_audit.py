@@ -434,7 +434,9 @@ def main():
     df21 = embedding_entries(embed_documents(docs21, "doc_id", "text"), "doc_id")
     p21 = df21._jdf.queryExecution().executedPlan().toString()
     n_exch21 = p21.count("Exchange")
-    has_kernel21 = "MapInPandas" in p21
+    # r6: the kernel moved from mapInPandas to mapInArrow (vectorized
+    # segmented matmul) — accept either Python-eval node name
+    has_kernel21 = ("MapInPandas" in p21) or ("MapInArrow" in p21)
     print(f"[21] embedder: exchanges={n_exch21} (want 1), kernel={has_kernel21}")
     if n_exch21 != 1 or not has_kernel21:
         failures.append("embedder lost its single-shuffle co-partitioned shape")
