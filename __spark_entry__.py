@@ -324,13 +324,22 @@ def _q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified by exact jaccard >= 0.8 — equals the
     brute-force oracle when (and only when) LSH recall is 1, which holds
     deterministically on the planted fixture (16 bands x 4 rows)."""
-    from pyspark.sql import functions as F2
+    from concurrent.futures import ThreadPoolExecutor
 
     from conflation_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
-    cands = minhash_lsh_pairs(td, "text_id", "text", max_bucket_size=LSH_MAX_BUCKET)
-    exact = ngram_jaccard_pairs(td, "text_id", "text", 3, 0.8, max_doc_freq=NGRAM_MAX_DF)
+    # guide §2.6: the two builders each materialize an independent proxy
+    # table eagerly (band rows / df-filtered shingles) — overlap them
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cands = pool.submit(
+            minhash_lsh_pairs, td, "text_id", "text", max_bucket_size=LSH_MAX_BUCKET
+        )
+        f_exact = pool.submit(
+            ngram_jaccard_pairs, td, "text_id", "text", 3, 0.8, max_doc_freq=NGRAM_MAX_DF
+        )
+        cands = f_cands.result()
+        exact = f_exact.result()
     return exact.join(cands, ["id_a", "id_b"], "left_semi").select(
         "id_a", "id_b", "jaccard_c"
     )
@@ -421,21 +430,32 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_minhash_pairs,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     td = spark.read.parquet(f"{_text_dir(sf_dir)}/textdocs.parquet")
     corpus = td.where(F.col("text_id") < INCR_SPLIT)
     delta = td.where(F.col("text_id") >= INCR_SPLIT)
     tbl = "oracle_corpus_bands"
-    checkpoint_band_table(corpus, tbl, "text_id", "text")
+
     # the exact pair set feeds BOTH semijoins and Catalyst does not CSE
     # across subtrees — checkpoint it once (tiny: a few hundred pair
-    # rows) instead of paying the shingle self-join twice. The CC calls
-    # below run jobs eagerly, so this materializes inside the query call
-    # and holds no state across calls.
-    exact = (
-        ngram_jaccard_pairs(td, "text_id", "text", 3, 0.8, max_doc_freq=NGRAM_MAX_DF)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
+    # rows) instead of paying the shingle self-join twice; it holds no
+    # state across calls (materializes inside this query call).
+    def _exact():
+        return (
+            ngram_jaccard_pairs(td, "text_id", "text", 3, 0.8, max_doc_freq=NGRAM_MAX_DF)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+    # guide §2.6: the band-table checkpoint and the exact pair
+    # materialization are INDEPENDENT eager phases — overlap them so the
+    # second fills the first's task tail instead of running after it
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_band = pool.submit(checkpoint_band_table, corpus, tbl, "text_id", "text")
+        f_exact = pool.submit(_exact)
+        f_band.result()
+        exact = f_exact.result()
     corpus_pairs = exact.join(corpus_self_pairs(spark, tbl), ["id_a", "id_b"], "left_semi")
     # bare CC labels (paired corpus ids only) instead of the full
     # dedup_clusters assignment: labels0 feeds TWO downstream subtrees
@@ -443,8 +463,16 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-ran the corpus-wide singleton left-join; unpaired ids fall out
     # of the final coalesce(cc, prior, id) identically (r6; proven by the
     # unchanged oracle hash — the recursive CTE over the full pair graph)
-    labels0 = connected_components(corpus_pairs, "id_a", "id_b")
-    inc_cands = incremental_minhash_pairs(spark, tbl, delta, "text_id", "text")
+    # ... and the corpus CC overlaps the delta banding the same way
+    # (incremental_minhash_pairs materializes only the delta band table
+    # eagerly; its joins stay lazy)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_labels = pool.submit(connected_components, corpus_pairs, "id_a", "id_b")
+        f_cands = pool.submit(
+            incremental_minhash_pairs, spark, tbl, delta, "text_id", "text"
+        )
+        labels0 = f_labels.result()
+        inc_cands = f_cands.result()
     inc_pairs = exact.join(inc_cands, ["id_a", "id_b"], "left_semi")
     cc = incremental_components(inc_pairs, labels0)
     all_ids = td.select(F.col("text_id").alias("id"))
