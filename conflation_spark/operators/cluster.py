@@ -210,9 +210,22 @@ def connected_components(
     if algorithm == "star":
         return connected_components_star(pairs, id_a, id_b, max_iter=max(max_iter, 30))
     budget = max_iter if algorithm == "hashmin" else min(hashmin_budget, max_iter)
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # symmetrize with ONE reference to `pairs`: a union of two selects
+    # re-evaluates the caller's whole pair pipeline per branch (Catalyst
+    # does not CSE across subtrees — r6; the ngram pair join ran twice
+    # inside this checkpoint). The 2-struct explode doubles rows in one
+    # pass instead.
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
-        e.unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)  # reused every round: cut the dedup lineage
